@@ -1,0 +1,2 @@
+from battetl_spark.cdc.dedup import lww_winners  # noqa: F401
+from battetl_spark.cdc.merge import MergeResult, merge_apply  # noqa: F401

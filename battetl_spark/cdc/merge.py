@@ -1,0 +1,229 @@
+"""merge_apply — fenced, copy-on-write MERGE of a change-event batch.
+
+The Spark/lakehouse re-expression of the reference's load path
+(SURVEY.md §2.3 U1/U2/U5, reference battetl/load/Loader.py:144-332):
+
+    MERGE INTO transcripts t USING winners s
+      ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+      WHEN MATCHED AND s.lsn > t._last_lsn AND s.op = 'd' THEN DELETE
+      WHEN MATCHED AND s.lsn > t._last_lsn THEN UPDATE SET *
+      WHEN NOT MATCHED AND s.op != 'd' THEN INSERT *
+
+implemented as a bucket-pruned copy-on-write plan:
+  1. fence check (epoch already applied → whole batch is a no-op);
+  2. schema-evolution gate (add/widen allowed, incompatible rejected,
+     nothing committed on rejection);
+  3. LSN dedup to one winner per key (battetl_spark.cdc.dedup — skew-safe);
+  4. prune: only buckets containing winner keys are read & rewritten;
+  5. union current rows (as pseudo-events at lsn=_last_lsn) with winners and
+     take max-lsn per key → late events (lsn <= _last_lsn) are no-ops;
+  6. atomic snapshot commit carrying fence + per-partition lineage.
+
+Scale: cost ∝ (batch size + touched-bucket bytes). num_buckets is the knob —
+at 100 TB with 4096 buckets a batch touching 1% of conversations reads/writes
+~1 GB-scale bucket slices, never the table. All steps are Catalyst plans;
+nothing iterates rows on the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from battetl_spark.cdc.dedup import lww_winners
+from battetl_spark.lake.table import BUCKET_COL, LakeTable, bucket_expr, utc_now_iso
+from battetl_spark.schemas import DELETED_COL, KEY_COLS, LAST_LSN_COL
+
+ENVELOPE_COLS = ("lsn", "op", "source_partition")
+
+
+@dataclass
+class MergeResult:
+    applied: bool
+    snapshot_id: int | None = None
+    rows_inserted: int = 0
+    rows_updated: int = 0
+    rows_deleted: int = 0
+    buckets_rewritten: list[int] = field(default_factory=list)
+
+
+def _incoming_table_schema(events: DataFrame) -> T.StructType:
+    """Row-image schema implied by an event batch = payload cols + _last_lsn."""
+    fields = [f for f in events.schema.fields if f.name not in ENVELOPE_COLS]
+    fields.append(T.StructField(LAST_LSN_COL, T.LongType(), False))
+    return T.StructType(fields)
+
+
+def merge_apply(
+    table: LakeTable,
+    events: DataFrame,
+    epoch_id: int | None = None,
+    key_cols: list[str] | None = None,
+    dedup_strategy: str = "agg",
+    salt_buckets: int = 32,
+    collect_lineage: bool = True,
+    target_partitions: int | None = None,
+) -> MergeResult:
+    """Apply one batch of change events to the table, exactly once.
+
+    ``epoch_id`` fences the commit: if this epoch is already in the table's
+    fence map the batch is skipped entirely (idempotent replay). With
+    epoch_id=None the merge still applies (ad-hoc batch mode) but has no
+    replay protection.
+    """
+    key_cols = key_cols or KEY_COLS
+    if epoch_id is not None and table.has_fence(epoch_id):
+        return MergeResult(applied=False)
+
+    # -- schema-evolution gate (atomic; raises cleanly on incompatibility) --
+    evolved = table.evolve_schema(_incoming_table_schema(events))
+    snap = table.snapshot()
+    payload_cols = [f.name for f in evolved.fields if not f.name.startswith("_")]
+    by_name = {f.name: f for f in evolved.fields}
+
+    # -- 1 winner per key (skew-safe) --
+    winners = lww_winners(
+        events, key_cols, "lsn", strategy=dedup_strategy, salt_buckets=salt_buckets
+    )
+    winners = winners.select(
+        *[
+            F.col(c).cast(by_name[c].dataType).alias(c)
+            if c in winners.columns
+            else F.lit(None).cast(by_name[c].dataType).alias(c)
+            for c in payload_cols
+        ],
+        F.col("lsn"),
+        F.col("op"),
+        F.col("source_partition"),
+    ).withColumn(BUCKET_COL, bucket_expr(snap["bucket_key"], snap["num_buckets"]))
+    winners = winners.persist()
+    try:
+        buckets = sorted(
+            r[0] for r in winners.select(BUCKET_COL).distinct().collect()
+        )
+        if not buckets:
+            return MergeResult(applied=False)
+
+        # current rows compete at lsn = _last_lsn; tombstones compete too
+        # (op 'cd') so late updates lose to an already-applied delete.
+        current = table.scan(buckets, snap, include_deleted=True).select(
+            *payload_cols,
+            F.col(LAST_LSN_COL).alias("lsn"),
+            F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit("cd"))
+            .otherwise(F.lit("c"))
+            .alias("op"),
+            F.lit(None).cast("int").alias("source_partition"),
+            bucket_expr(snap["bucket_key"], snap["num_buckets"]).alias(BUCKET_COL),
+        )
+
+        # -- cross-batch LWW: one winner per key among {current row, events} --
+        combined = current.unionByName(winners)
+        non_key = [c for c in combined.columns if c not in key_cols]
+        # lsn ties (an event replayed at exactly the applied _last_lsn) must
+        # resolve to the current row — a no-op, not a counted update.
+        order = F.struct(
+            F.col("lsn"), F.col("op").isin("c", "cd").cast("int").alias("__prio")
+        )
+        resolved = (
+            combined.groupBy(*key_cols)
+            .agg(
+                F.max_by(F.struct(*non_key), order).alias("__w"),
+                F.max(F.when(F.col("op") == "c", F.col("lsn"))).alias("__cur_lsn"),
+            )
+            .select(
+                *key_cols,
+                *[F.col(f"__w.{c}").alias(c) for c in non_key],
+                F.col("__cur_lsn"),
+            )
+        )
+        had_live = F.col("__cur_lsn").isNotNull()
+        resolved = resolved.withColumn(
+            "__change",
+            F.when(F.col("op").isin("c", "cd"), F.lit("unchanged"))
+            .when(F.col("op") == "d", F.when(had_live, "deleted").otherwise("unchanged"))
+            .when(had_live, F.lit("updated"))
+            .otherwise(F.lit("inserted")),
+        ).persist()
+
+        lineage_rows: list[dict] = []
+        ins = upd = dele = 0
+        if collect_lineage:
+            offsets = {
+                r["source_partition"]: r
+                for r in events.groupBy("source_partition")
+                .agg(F.min("lsn").alias("min_lsn"), F.max("lsn").alias("max_lsn"))
+                .collect()
+            }
+            changes = {
+                (r["source_partition"], r["__change"]): r["n"]
+                for r in resolved.filter(F.col("__change") != "unchanged")
+                .groupBy("source_partition", "__change")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            now = utc_now_iso()
+            for sp, off in sorted(
+                offsets.items(), key=lambda kv: (kv[0] is None, kv[0])
+            ):
+                lineage_rows.append(
+                    {
+                        "epoch_id": -1 if epoch_id is None else int(epoch_id),
+                        "source_partition": sp,
+                        "min_lsn": off["min_lsn"],
+                        "max_lsn": off["max_lsn"],
+                        "rows_inserted": changes.get((sp, "inserted"), 0),
+                        "rows_updated": changes.get((sp, "updated"), 0),
+                        "rows_deleted": changes.get((sp, "deleted"), 0),
+                        "committed_at": now,
+                    }
+                )
+            ins = sum(r["rows_inserted"] for r in lineage_rows)
+            upd = sum(r["rows_updated"] for r in lineage_rows)
+            dele = sum(r["rows_deleted"] for r in lineage_rows)
+
+        # deletes are written as tombstones (payload nulled, _deleted=true)
+        # so the delete's lsn keeps fencing later-arriving older updates.
+        dead = F.col("op").isin("d", "cd")
+        out = resolved.select(
+            *[
+                F.col(c)
+                if c in key_cols
+                else F.when(dead, F.lit(None).cast(by_name[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in payload_cols
+            ],
+            F.col("lsn").alias(LAST_LSN_COL),
+            dead.alias(DELETED_COL),
+            F.col(BUCKET_COL),
+        )
+
+        fence = None
+        if epoch_id is not None:
+            max_lsn = events.agg(F.max("lsn")).collect()[0][0]
+            fence = {"epoch_id": int(epoch_id), "max_lsn": int(max_lsn or 0)}
+
+        new_snap = table.replace_buckets(
+            out,
+            buckets,
+            fence=fence,
+            lineage=lineage_rows,
+            target_partitions=target_partitions,
+        )
+        return MergeResult(
+            applied=True,
+            snapshot_id=new_snap["snapshot_id"],
+            rows_inserted=ins,
+            rows_updated=upd,
+            rows_deleted=dele,
+            buckets_rewritten=buckets,
+        )
+    finally:
+        winners.unpersist()
+        try:
+            resolved.unpersist()
+        except NameError:
+            pass

@@ -1,0 +1,347 @@
+"""LakeTable — a minimal snapshot-based table format on parquet.
+
+The sandbox has no Iceberg/Delta jars, so the engine ships its own small
+lakehouse layer with the properties the CDC sink needs (all public, standard
+lakehouse ideas — snapshot isolation via an atomically-swapped metadata
+pointer, immutable data files, copy-on-write row rewrite, schema evolution by
+metadata, O(1) commit):
+
+- **Snapshots**: JSON files ``metadata/v{N:08d}.json`` created with exclusive
+  ``open(..., 'x')`` (optimistic concurrency — a losing writer retries), then
+  ``version-hint.txt`` swapped via ``os.replace`` (atomic on POSIX). Readers
+  see either the old or the new snapshot, never a torn state.
+- **Bucketed layout**: rows are hash-bucketed on a bucket key (``conv_id``)
+  into ``num_buckets`` buckets. MERGE rewrites only the buckets a batch
+  touches (copy-on-write); untouched buckets' files are carried forward by
+  reference. At 100 TB this is what keeps a 1 GB microbatch from rewriting
+  the table: cost ∝ touched-bucket bytes, not table bytes.
+- **Schema evolution**: each file group records the schema it was written
+  with; reads harmonize per group (missing columns → NULL, widened types →
+  cast) so old files are never rewritten on ADD COLUMN / type widening.
+  (Reference analog: schema-version gate Loader.py:448-493 and the
+  ``other_details`` open-schema escape hatch Loader.py:495-524.)
+- **Fences**: the snapshot embeds a map of applied (epoch_id → max_lsn,
+  per-partition offsets). Fence-check + data commit land in ONE atomic
+  snapshot swap ⇒ replaying a committed epoch is a no-op (exactly-once;
+  reference analog: 0-row re-load, tests/test_Loader.py:341-343).
+- **Lineage**: per-commit row counts / lsn ranges / snapshot id stored in the
+  snapshot and queryable as a DataFrame (reference analog: post-load meta
+  refresh Loader.py:1245-1281).
+
+Scale notes: metadata is O(num_buckets + files), independent of row count.
+On a real deployment the JSON pointer swap would live on a consistent store
+(HDFS rename / a catalog service); the protocol is unchanged.
+"""
+
+from __future__ import annotations
+
+import copy
+import glob
+import json
+import os
+import uuid
+from datetime import datetime, timezone
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from battetl_spark.lake.evolution import (
+    SchemaCompatibilityError,
+    check_schema_compatibility,
+)
+
+BUCKET_COL = "__bucket"
+_HINT = "version-hint.txt"
+
+
+class CommitConflict(Exception):
+    pass
+
+
+def bucket_expr(bucket_key: str, num_buckets: int):
+    """Deterministic bucket id for a key — xxhash64-based so any engine stage
+    (dedup, merge, scan pruning) derives the same bucket without metadata."""
+    return F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(num_buckets)).cast("int")
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self._meta_dir = os.path.join(self.path, "metadata")
+        self._data_dir = os.path.join(self.path, "data")
+
+    # ------------------------------------------------------------------ setup
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        num_buckets: int = 16,
+        bucket_key: str = "conv_id",
+        key_cols: list[str] | None = None,
+        sort_cols: list[str] | None = None,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        t = cls(spark, path)
+        os.makedirs(t._meta_dir, exist_ok=False)
+        os.makedirs(t._data_dir, exist_ok=True)
+        snap = {
+            "version": 1,
+            "snapshot_id": 1,
+            "parent": None,
+            "schema": json.loads(schema.json()),
+            "schemas": {"1": json.loads(schema.json())},
+            "current_schema_id": "1",
+            "num_buckets": num_buckets,
+            "bucket_key": bucket_key,
+            "key_cols": key_cols or [],
+            "sort_cols": sort_cols or key_cols or [],
+            "files": {},  # bucket(str) -> [{"path": rel, "schema_id": str}]
+            "fences": {},  # epoch_id(str) -> {"max_lsn": int, "partitions": {...}}
+            "lineage": [],  # this commit's lineage rows
+            "properties": properties or {},
+        }
+        t._write_snapshot(snap)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        t = cls(spark, path)
+        t.snapshot()  # raises if absent
+        return t
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.exists(os.path.join(path, "metadata", _HINT))
+
+    # ------------------------------------------------------------- snapshots
+    def snapshot(self) -> dict:
+        with open(os.path.join(self._meta_dir, _HINT)) as f:
+            v = int(f.read().strip())
+        with open(os.path.join(self._meta_dir, f"v{v:08d}.json")) as f:
+            return json.load(f)
+
+    def _write_snapshot(self, snap: dict) -> None:
+        p = os.path.join(self._meta_dir, f"v{snap['version']:08d}.json")
+        with open(p, "x") as f:  # exclusive create = optimistic lock
+            json.dump(snap, f)
+        tmp = os.path.join(self._meta_dir, f".hint.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(snap["version"]))
+        os.replace(tmp, os.path.join(self._meta_dir, _HINT))
+
+    def commit(self, mutate, max_retries: int = 10) -> dict:
+        """Optimistic commit: mutate(copy-of-current) -> new snapshot dict
+        (or None to abort). Retries on version collision."""
+        for _ in range(max_retries):
+            cur = self.snapshot()
+            new = mutate(copy.deepcopy(cur))
+            if new is None:
+                return cur
+            new["version"] = cur["version"] + 1
+            new["snapshot_id"] = new["version"]
+            new["parent"] = cur["version"]
+            try:
+                self._write_snapshot(new)
+                return new
+            except FileExistsError:
+                continue
+        raise CommitConflict(f"commit lost {max_retries} races at {self.path}")
+
+    # ---------------------------------------------------------------- schema
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.snapshot()["schema"])
+
+    @property
+    def num_buckets(self) -> int:
+        return self.snapshot()["num_buckets"]
+
+    @property
+    def bucket_key(self) -> str:
+        return self.snapshot()["bucket_key"]
+
+    def evolve_schema(self, incoming: T.StructType) -> T.StructType:
+        """Gate + apply schema evolution (adds / safe widenings) atomically.
+
+        Raises SchemaCompatibilityError on incompatible changes — the
+        pipeline errors cleanly with no partial commit (FIXTURES.md F6).
+        """
+        def mutate(snap):
+            cur = T.StructType.fromJson(snap["schema"])
+            evolved = check_schema_compatibility(cur, incoming)
+            if evolved.json() == cur.json():
+                return None  # no-op
+            sid = str(max(int(k) for k in snap["schemas"]) + 1)
+            snap["schemas"][sid] = json.loads(evolved.json())
+            snap["schema"] = snap["schemas"][sid]
+            snap["current_schema_id"] = sid
+            snap["lineage"] = []
+            return snap
+
+        return T.StructType.fromJson(self.commit(mutate)["schema"])
+
+    # ------------------------------------------------------------------ read
+    def scan(
+        self,
+        buckets: list[int] | None = None,
+        snap: dict | None = None,
+        include_deleted: bool = False,
+    ) -> DataFrame:
+        """Read current rows (optionally only the given buckets), harmonized
+        to the current schema. Missing columns in old files → NULL; widened
+        types → cast. Per-group reads keep the parquet vectorized reader on
+        the exact written schema (no cross-file type confusion).
+
+        Tombstone rows (``_deleted = true``) are filtered unless
+        ``include_deleted`` — merge reads them for late-event fencing."""
+        snap = snap or self.snapshot()
+        cur_schema = T.StructType.fromJson(snap["schema"])
+        wanted = (
+            snap["files"].items()
+            if buckets is None
+            else ((str(b), snap["files"].get(str(b), [])) for b in buckets)
+        )
+        by_schema: dict[str, list[str]] = {}
+        for _, entries in wanted:
+            for e in entries:
+                by_schema.setdefault(e["schema_id"], []).append(
+                    os.path.join(self.path, e["path"])
+                )
+        if not by_schema:
+            return self.spark.createDataFrame([], cur_schema)
+        parts = []
+        for sid, paths in by_schema.items():
+            g_schema = T.StructType.fromJson(snap["schemas"][sid])
+            df = self.spark.read.schema(g_schema).parquet(*paths)
+            cols = [
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in cur_schema.fields
+            ]
+            parts.append(df.select(*cols))
+        out = reduce(lambda a, b: a.unionByName(b), parts)
+        field_names = {f.name for f in cur_schema.fields}
+        if not include_deleted and "_deleted" in field_names:
+            out = out.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        return out
+
+    def to_df(self) -> DataFrame:
+        return self.scan()
+
+    # ----------------------------------------------------------------- write
+    def _write_data(
+        self, df: DataFrame, target_partitions: int | None = None
+    ) -> dict[str, list[str]]:
+        """Write rows (must carry BUCKET_COL) into a fresh commit dir,
+        one hive-style subdir per bucket; returns {bucket: [rel paths]}.
+
+        sortWithinPartitions enforces the stable-ordering invariant
+        (per-turn text equality under stable turn ordering) at rest.
+        """
+        snap = self.snapshot()
+        sort_cols = snap["sort_cols"] or []
+        commit_dir = f"commit-{uuid.uuid4().hex}"
+        out = os.path.join(self._data_dir, commit_dir)
+        n_out = target_partitions or max(
+            1, min(df.sparkSession.sparkContext.defaultParallelism, 64)
+        )
+        w = df.repartition(n_out, BUCKET_COL)
+        if sort_cols:
+            w = w.sortWithinPartitions(*sort_cols)
+        w.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(out)
+        files: dict[str, list[str]] = {}
+        for p in glob.glob(os.path.join(out, f"{BUCKET_COL}=*", "*.parquet")):
+            b = os.path.basename(os.path.dirname(p)).split("=", 1)[1]
+            rel = os.path.relpath(p, self.path)
+            files.setdefault(b, []).append(rel)
+        return files
+
+    def replace_buckets(
+        self,
+        df: DataFrame,
+        buckets: list[int],
+        fence: dict | None = None,
+        lineage: list[dict] | None = None,
+        target_partitions: int | None = None,
+    ) -> dict:
+        """Copy-on-write commit: the given buckets' contents become exactly
+        ``df`` (which must carry BUCKET_COL); all other buckets carry over.
+        ``fence`` = {"epoch_id": int, "max_lsn": int, ...} recorded atomically
+        with the data swap."""
+        new_files = self._write_data(df, target_partitions)
+
+        replaced = {int(b) for b in buckets}
+
+        def mutate(snap):
+            if fence is not None and str(fence["epoch_id"]) in snap["fences"]:
+                return None  # already committed — exactly-once replay no-op
+            sid = snap["current_schema_id"]
+            for b in replaced:
+                snap["files"][str(b)] = [
+                    {"path": p, "schema_id": sid} for p in new_files.get(str(b), [])
+                ]
+            for b_str, paths in new_files.items():
+                if int(b_str) not in replaced:  # defensive: stray bucket → append
+                    snap["files"][b_str] = snap["files"].get(b_str, []) + [
+                        {"path": p, "schema_id": sid} for p in paths
+                    ]
+            if fence is not None:
+                snap["fences"][str(fence["epoch_id"])] = {
+                    k: v for k, v in fence.items() if k != "epoch_id"
+                }
+            snap["lineage"] = lineage or []
+            return snap
+
+        return self.commit(mutate)
+
+    def append(self, df: DataFrame, lineage: list[dict] | None = None) -> dict:
+        """Append-only commit (seeding / fact-append use; reference analog:
+        chunked INSERT Loader.py:1149-1205 — here one distributed write)."""
+        snap = self.snapshot()
+        bexpr = bucket_expr(snap["bucket_key"], snap["num_buckets"])
+        new_files = self._write_data(df.withColumn(BUCKET_COL, bexpr))
+
+        def mutate(s):
+            for b_str, paths in new_files.items():
+                entries = [
+                    {"path": p, "schema_id": s["current_schema_id"]} for p in paths
+                ]
+                s["files"][b_str] = s["files"].get(b_str, []) + entries
+            s["lineage"] = lineage or []
+            return s
+
+        return self.commit(mutate)
+
+    # ----------------------------------------------------------- fence/meta
+    def has_fence(self, epoch_id: int) -> bool:
+        return str(epoch_id) in self.snapshot()["fences"]
+
+    def fences(self) -> dict:
+        return self.snapshot()["fences"]
+
+    def lineage_df(self) -> DataFrame:
+        """All lineage rows across all snapshots, as a DataFrame."""
+        from battetl_spark.schemas import LINEAGE_SCHEMA
+
+        rows = []
+        for p in sorted(glob.glob(os.path.join(self._meta_dir, "v*.json"))):
+            with open(p) as f:
+                snap = json.load(f)
+            for r in snap.get("lineage", []):
+                r = dict(r)
+                r["snapshot_id"] = snap["snapshot_id"]
+                r["committed_at"] = datetime.fromisoformat(r["committed_at"])
+                rows.append(r)
+        if not rows:
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+        return self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
+
+
+def utc_now_iso() -> str:
+    return datetime.now(timezone.utc).replace(tzinfo=None).isoformat()
