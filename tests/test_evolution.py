@@ -1,0 +1,125 @@
+"""Schema-evolution gate tests (FIXTURES.md F6; reference analog:
+schema-version gate Loader.py:448-493, open-schema packing Loader.py:495-524).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from battetl_spark import fixtures as FX
+from battetl_spark.cdc import merge_apply
+from battetl_spark.lake import LakeTable, SchemaCompatibilityError
+from battetl_spark.lake.evolution import check_schema_compatibility
+from battetl_spark.schemas import (
+    CHANGE_EVENT_SCHEMA,
+    KEY_COLS,
+    TRANSCRIPT_TABLE_SCHEMA,
+)
+
+
+def seeded(spark, path, base_pdf):
+    t = LakeTable.create(
+        spark, str(path), TRANSCRIPT_TABLE_SCHEMA, num_buckets=4,
+        key_cols=KEY_COLS, sort_cols=KEY_COLS,
+    )
+    t.append(FX.table_rows_df(spark, base_pdf))
+    return t
+
+
+@pytest.fixture(scope="module")
+def base_pdf():
+    return FX.make_transcripts(seed=42, n_convs=20, max_turns=6)
+
+
+def events_with(spark, pdf, extra=None, retype=None):
+    fields = list(CHANGE_EVENT_SCHEMA.fields)
+    if retype:
+        fields = [
+            T.StructField(f.name, retype.get(f.name, f.dataType), f.nullable)
+            for f in fields
+        ]
+    if extra:
+        fields += [T.StructField(n, dt, True) for n, dt in extra]
+    schema = T.StructType(fields)
+    return spark.createDataFrame(pdf[[f.name for f in schema.fields]], schema=schema)
+
+
+def base_events(n=20, lsn0=1):
+    ev = FX.make_change_events(seed=5, n_events=n, n_convs=20, max_turns=6,
+                               dup_rate=0, shuffle_window=1)
+    ev["lsn"] += lsn0 - 1
+    return ev
+
+
+def test_add_column_midstream(spark, tmp_path, base_pdf):
+    t = seeded(spark, tmp_path / "t1", base_pdf)
+    merge_apply(t, events_with(spark, base_events(20)), epoch_id=0)
+    ev = base_events(20, lsn0=1000)
+    ev["meta_tokens"] = np.arange(len(ev), dtype=np.int32)
+    merge_apply(
+        t, events_with(spark, ev, extra=[("meta_tokens", T.IntegerType())]),
+        epoch_id=1,
+    )
+    assert "meta_tokens" in [f.name for f in t.schema.fields]
+    df = t.scan()
+    assert df.filter("meta_tokens is not null").count() > 0
+    assert df.filter("meta_tokens is null").count() > 0  # old rows → NULL
+
+
+def test_widen_int_to_long(spark, tmp_path, base_pdf):
+    t = seeded(spark, tmp_path / "t2", base_pdf)
+    merge_apply(t, events_with(spark, base_events(20)), epoch_id=0)
+    ev = base_events(10, lsn0=2000)
+    ev["turn_idx"] = ev["turn_idx"].astype(np.int64)
+    merge_apply(
+        t, events_with(spark, ev, retype={"turn_idx": T.LongType()}), epoch_id=1
+    )
+    field = {f.name: f for f in t.schema.fields}["turn_idx"]
+    assert field.dataType == T.LongType()
+    # all rows (old int32 files + new long files) readable and consistent
+    assert t.scan().select("turn_idx").distinct().count() > 0
+
+
+def test_incompatible_rejected_no_partial_commit(spark, tmp_path, base_pdf):
+    t = seeded(spark, tmp_path / "t3", base_pdf)
+    v0 = t.snapshot()["version"]
+    ev = base_events(5)
+    ev["ts"] = "not-a-timestamp"
+    with pytest.raises(SchemaCompatibilityError):
+        merge_apply(
+            t, events_with(spark, ev, retype={"ts": T.StringType()}), epoch_id=0
+        )
+    assert t.snapshot()["version"] == v0  # nothing committed
+    assert not t.has_fence(0)
+
+
+def test_compat_checker_unit():
+    cur = T.StructType(
+        [
+            T.StructField("a", T.IntegerType(), False),
+            T.StructField("b", T.FloatType(), True),
+        ]
+    )
+    out = check_schema_compatibility(
+        cur,
+        T.StructType(
+            [
+                T.StructField("a", T.LongType(), False),
+                T.StructField("b", T.DoubleType(), True),
+                T.StructField("c", T.StringType(), True),
+            ]
+        ),
+    )
+    got = {f.name: f.dataType for f in out.fields}
+    assert got == {"a": T.LongType(), "b": T.DoubleType(), "c": T.StringType()}
+    with pytest.raises(SchemaCompatibilityError):
+        check_schema_compatibility(
+            cur, T.StructType([T.StructField("a", T.StringType(), True)])
+        )
+    with pytest.raises(SchemaCompatibilityError):  # missing non-nullable col
+        check_schema_compatibility(
+            cur, T.StructType([T.StructField("b", T.FloatType(), True)])
+        )

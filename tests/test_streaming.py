@@ -1,0 +1,103 @@
+"""Streaming replay-equivalence + crash/resume exactly-once (FIXTURES.md F3/F5).
+
+Final table state must be identical for: one-shot batch apply, K-microbatch
+streaming apply, and resume-from-checkpoint after a mid-replay kill — both
+crash-before-commit and crash-after-commit (the fence makes the replayed
+epoch a no-op)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from battetl_spark import fixtures as FX
+from battetl_spark.lake import LakeTable
+from battetl_spark.schemas import KEY_COLS, TRANSCRIPT_TABLE_SCHEMA
+from battetl_spark.streaming import CdcStream, read_change_event_stream
+from tests.conftest import assert_pdf_equal
+
+ALL_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "_last_lsn"]
+
+
+@pytest.fixture(scope="module")
+def base_pdf():
+    return FX.make_transcripts(seed=42, n_convs=40, max_turns=10)
+
+
+@pytest.fixture(scope="module")
+def events_pdf():
+    return FX.make_change_events(
+        seed=43, n_events=2000, n_convs=50, max_turns=10, dup_rate=0.03
+    )
+
+
+@pytest.fixture(scope="module")
+def expected(base_pdf, events_pdf):
+    return FX.pandas_oracle_replay(base_pdf, events_pdf)
+
+
+def write_event_files(spark, events_pdf, path, k):
+    for chunk in np.array_split(events_pdf, k):
+        df = FX.change_events_df(spark, chunk.reset_index(drop=True))
+        df.coalesce(1).write.mode("append").parquet(path)
+
+
+def seeded(spark, path, base_pdf):
+    t = LakeTable.create(
+        spark, path, TRANSCRIPT_TABLE_SCHEMA, num_buckets=8,
+        key_cols=KEY_COLS, sort_cols=KEY_COLS,
+    )
+    t.append(FX.table_rows_df(spark, base_pdf))
+    return t
+
+
+def state(t):
+    return t.scan().orderBy(*KEY_COLS).toPandas()[ALL_COLS].reset_index(drop=True)
+
+
+def test_streaming_apply_matches_oracle(spark, tmp_path, base_pdf, events_pdf, expected):
+    src = str(tmp_path / "events")
+    write_event_files(spark, events_pdf, src, k=5)
+    t = seeded(spark, str(tmp_path / "table"), base_pdf)
+    stream = CdcStream(t, str(tmp_path / "ckpt"))
+    stream.run_to_completion(read_change_event_stream(spark, src))
+    assert_pdf_equal(state(t), expected, KEY_COLS)
+    # every epoch fenced exactly once
+    assert len(t.fences()) >= 1
+
+
+@pytest.mark.parametrize("crash_phase", ["before_merge", "after_merge"])
+def test_crash_resume_from_checkpoint(
+    spark, tmp_path, base_pdf, events_pdf, expected, crash_phase
+):
+    src = str(tmp_path / f"events-{crash_phase}")
+    write_event_files(spark, events_pdf, src, k=6)
+    t = seeded(spark, str(tmp_path / f"table-{crash_phase}"), base_pdf)
+    ckpt = str(tmp_path / f"ckpt-{crash_phase}")
+
+    crashed = {"done": False}
+
+    def injector(epoch_id, phase):
+        if epoch_id == 2 and phase == crash_phase and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError(f"injected crash at epoch {epoch_id} {phase}")
+
+    stream = CdcStream(t, ckpt, fail_injector=injector)
+    with pytest.raises(Exception):
+        stream.run_to_completion(read_change_event_stream(spark, src))
+    assert crashed["done"]
+    mid_version = t.snapshot()["version"]
+
+    # restart from the same checkpoint, no injector → resumes + finishes
+    stream2 = CdcStream(t, ckpt)
+    stream2.run_to_completion(read_change_event_stream(spark, src))
+    assert t.snapshot()["version"] > mid_version
+    assert_pdf_equal(state(t), expected, KEY_COLS)
+
+    if crash_phase == "after_merge":
+        # epoch 2 was committed before the crash; the replay must have been
+        # fenced — exactly one lineage record for epoch 2.
+        lin = t.lineage_df().toPandas()
+        assert (lin["epoch_id"] == 2).sum() == lin[lin.epoch_id == 2][
+            "source_partition"
+        ].nunique()
