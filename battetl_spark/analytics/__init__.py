@@ -1,0 +1,2 @@
+from battetl_spark.analytics.cycle_stats import calc_cycle_stats  # noqa: F401
+from battetl_spark.analytics.rollups import conversation_stats  # noqa: F401
