@@ -1,38 +1,705 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises an operator family from SURVEY.md §2
+(reference file:line cited inline); ``oracle_sql()`` carries the DuckDB
+equivalent run by the driver at sf=0.01. Column names/aliases match exactly
+on both sides; float results are rounded identically on both sides so the
+order-insensitive value hash is stable under distributed summation.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF1 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# CDC / incremental-load operator family (SURVEY §2.3, reference Loader.py)
+# --------------------------------------------------------------------------
+
+def q_lww_latest_per_key(spark, sf):
+    """U1/U2: last-writer-wins winner per key by ordering column
+    (reference Loader.py:236-332 overwrite semantics). agg+max_by keeps the
+    reduction map-side combinable (skew-safe) vs a window sort."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.max("event_id").alias("last_event_id"),
+        F.max_by("event_type", "event_id").alias("last_event_type"),
+        F.round(F.max_by("value", "event_id"), 6).alias("last_value"),
+        F.max_by("ts", "event_id").alias("last_ts"),
+    )
+
+
+def q_cdc_replay(spark, sf):
+    """Full LWW replay with delete ops: event_type='error' acts as a delete
+    tombstone for the key; final live state only (engine semantics of
+    battetl_spark.cdc.merge, oracle-expressible)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    last = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return last.filter(F.col("event_type") != "error").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 6).alias("last_value"),
+    )
+
+
+def q_watermark_filter(spark, sf):
+    """U1: high-watermark append — only rows above MAX/2 watermark survive
+    (reference Loader.py:174-180, watermark lookup 1090-1100)."""
+    ev = _t(spark, sf, "events")
+    wm = ev.agg((F.max("event_id") / 2.0).alias("wm"))
+    return (
+        ev.crossJoin(F.broadcast(wm))
+        .filter(F.col("event_id") > F.col("wm"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_new"), F.min("event_id").alias("first_new_id"))
+    )
+
+
+def q_dim_upsert_keys(spark, sf):
+    """U3: lookup-or-insert dim keys with deterministic surrogate ids
+    (reference Loader.py:526-1008; serial RETURNING → md5 natural-key hash)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .select(
+            "user_id",
+            "event_type",
+            F.md5(
+                F.concat_ws("|", F.col("user_id").cast("string"), "event_type")
+            ).alias("surrogate_id"),
+        )
+    )
+
+
+def q_minmax_meta_refresh(spark, sf):
+    """U4: post-load meta refresh — first/last recorded datetime per test
+    (reference Loader.py:1245-1281)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_recorded"),
+        F.max("ts").alias("last_recorded"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q_anti_join_new_keys(spark, sf):
+    """J4: dedup anti-join — incoming keys not already in the table
+    (reference Loader.py:174-180 re-load inserts 0 rows)."""
+    ev = _t(spark, sf, "events")
+    half = ev.agg((F.max("event_id") / 2.0).alias("wm"))
+    existing = (
+        ev.crossJoin(F.broadcast(half))
+        .filter(F.col("event_id") <= F.col("wm"))
+        .select("user_id")
+        .distinct()
+    )
+    incoming = (
+        ev.crossJoin(F.broadcast(half))
+        .filter(F.col("event_id") > F.col("wm"))
+        .select("user_id")
+        .distinct()
+    )
+    return incoming.join(existing, "user_id", "left_anti").select("user_id")
+
+
+# --------------------------------------------------------------------------
+# Window / aggregation family (SURVEY §2.5, reference Transformer.py:413-724)
+# --------------------------------------------------------------------------
+
+def q_running_cumsum(spark, sf):
+    """A3: cumulative value over ordered frame per key (cumulative-capacity
+    pattern, Transformer.py:614-724)."""
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 40)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 6).alias("cum_value"),
+    )
+
+
+def q_lag_delta(spark, sf):
+    """A5: per-sample deltas via lag + conditional per-key sums (CC/CV split
+    pattern, Transformer.py:704-719)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    d = ev.withColumn("delta", F.col("value") - F.lag("value").over(w))
+    return d.groupBy("user_id").agg(
+        F.round(F.sum(F.when(F.col("delta") > 0, F.col("delta"))), 6).alias(
+            "sum_pos_delta"
+        ),
+        F.count(F.when(F.col("delta") < 0, 1)).alias("n_neg_delta"),
+    )
+
+
+def q_fractional_crossing(spark, sf):
+    """A6: first position where the running total crosses 50% of the final
+    (50%/80% charge-time pattern, Transformer.py:536-551)."""
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 40)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("user_id")
+    d = ev.select(
+        "user_id",
+        "event_id",
+        F.sum("value").over(w).alias("cum"),
+        F.sum("value").over(tot).alias("total"),
+    )
+    return d.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("cum") >= 0.5 * F.col("total"), F.col("event_id"))
+        ).alias("half_crossing_event_id")
+    )
+
+
+def q_first_last(spark, sf):
+    """O4/J5: first/last row per key by order (reference Loader.py:1259-1277
+    ORDER BY ... LIMIT 1 scalar subqueries)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.min_by("value", "event_id").alias("first_value"),
+        F.max_by("value", "event_id").alias("last_value"),
+    )
+
+
+def q_user_rollup(spark, sf):
+    """Conversation-stats analog (SURVEY §7.9): per-key counts per class,
+    last payload, totals — one shuffle, partial-agg friendly."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n_view"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchase"
+        ),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def q_groupby_agg(spark, sf):
+    """A1/A10: TPC-H-Q1-style grouped aggregate on lineitem."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_join_enrich(spark, sf):
+    """J1: fact ⋈ broadcast dim + grouped rollup (reference pandas join
+    Transformer.py:479-483)."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_sorted_topk(spark, sf):
+    """O1/O6: deterministic top-k (value desc, id asc tiebreak)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.orderBy(F.col("value").desc(), F.col("event_id"))
+        .select("event_id", "user_id", F.round("value", 6).alias("value"))
+        .limit(100)
+    )
+
+
+def q_union_distinct(spark, sf):
+    """E1: multi-source union + distinct (reference concat
+    Extractor.py:716-736)."""
+    ev = _t(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.unionByName(b).distinct()
+
+
+# --------------------------------------------------------------------------
+# Scalar transform family (SURVEY §2.2, reference utils.py / Transformer.py)
+# --------------------------------------------------------------------------
+
+def q_unit_milli_scale(spark, sf):
+    """P6: thousands-comma strip + ×1e3 unit scaling (utils.py:256-281).
+    The comma string is synthesized then parsed back — exercises the real
+    expression chain."""
+    from battetl_spark.functions.core import to_milli
+
+    ev = _t(spark, sf, "events")
+    # synthesize a thousands-comma numeric string '<A>,<BBB>.25'
+    pretty = F.concat(
+        F.floor("value").cast("int").cast("string"),
+        F.lit(","),
+        F.lpad((F.col("event_id") % 1000).cast("string"), 3, "0"),
+        F.lit(".25"),
+    )
+    return ev.select(
+        "event_id", F.round(to_milli(pretty), 2).alias("value_milli")
+    )
+
+
+def q_interval_parse(spark, sf):
+    """P10/P11: '1d HH:MM:SS.f' interval → seconds (utils.py:307-330) —
+    golden-style: synthesized interval strings, closed-form oracle."""
+    from battetl_spark.functions.core import interval_to_seconds
+
+    ev = _t(spark, sf, "events")
+    s = F.concat(
+        (F.col("user_id") % 3).cast("string"),
+        F.lit("d 12:34:"),
+        F.lpad((F.col("event_id") % 60).cast("string"), 2, "0"),
+    )
+    return ev.select(
+        "event_id",
+        F.round(interval_to_seconds(s), 3).alias("interval_s"),
+    )
+
+
+def q_datetime_parse_roundtrip(spark, sf):
+    """P7/P9: multi-format datetime fast-path + unixtime derivation
+    (utils.py:361-399, Transformer.py:302-323)."""
+    from battetl_spark.functions.core import parse_datetime_multi, unixtime_s
+
+    ev = _t(spark, sf, "events")
+    txt = F.when(
+        F.col("event_id") % 2 == 0,
+        F.date_format("ts", "MM/dd/yyyy HH:mm:ss"),
+    ).otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+    parsed = parse_datetime_multi(txt)
+    return ev.select("event_id", unixtime_s(parsed).alias("unixtime_s"))
+
+
+def q_tz_to_utc(spark, sf):
+    """P8: localize naive timestamps to America/Los_Angeles then convert to
+    UTC (utils.py:332-359); returned as epoch seconds."""
+    from battetl_spark.functions.core import to_utc, unixtime_s
+
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id", unixtime_s(to_utc("ts")).alias("utc_unixtime_s")
+    )
+
+
+def q_json_extract(spark, sf):
+    """P15-adjacent: JSON prop extraction + grouped stats over the open
+    'props' column (reference other_details JSON, Loader.py:495-524)."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(F.when(k.isNull(), 1)).alias("n_null_k")
+    )
+
+
+def q_json_pack(spark, sf):
+    """P15: leftover columns → JSON string with null stripping
+    (Loader.py:495-524), native to_json."""
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id",
+        F.to_json(
+            F.struct(F.col("event_type"), F.col("user_id")),
+        ).alias("other_details"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline family (documents / embeddings)
+# --------------------------------------------------------------------------
+
+def q_doc_exact_dedup(spark, sf):
+    from battetl_spark.analytics.textops import exact_dedup
+
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+def q_doc_token_count(spark, sf):
+    from battetl_spark.analytics.textops import token_count
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+def q_doc_quality(spark, sf):
+    from battetl_spark.analytics.textops import quality_features
+
+    d = _t(spark, sf, "documents")
+    return quality_features(d).select(
+        "doc_id", "q_n_tokens", "q_punct_ratio", "q_stop_ratio", "q_score"
+    )
+
+
+def q_doc_langid(spark, sf):
+    from battetl_spark.analytics.textops import lang_id
+
+    d = _t(spark, sf, "documents")
+    return lang_id(d).groupBy("pred_lang").agg(F.count("*").alias("n_docs"))
+
+
+def q_doc_fingerprint(spark, sf):
+    from battetl_spark.analytics.textops import normalized_text
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", F.md5(normalized_text("text")).alias("content_md5"))
+
+
+def q_doc_minhash_dedup(spark, sf):
+    """MinHash+LSH near-dup pairs (no SQL oracle: xxhash64 signatures are
+    Spark-specific; driver records rows-only check)."""
+    from battetl_spark.analytics.textops import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf, "documents"), jaccard_threshold=0.5)
+
+
+def q_doc_simhash(spark, sf):
+    """SimHash near-dup pairs (vectorized Arrow kernel; rows-only check)."""
+    from battetl_spark.analytics.textops import simhash_near_dups
+
+    return simhash_near_dups(_t(spark, sf, "documents"), max_hamming=3)
+
+
+def q_ann_cosine_topk(spark, sf):
+    """Brute-force exact cosine top-k (oracle: DuckDB list_dot_product)."""
+    from battetl_spark.analytics.similarity import cosine_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=10)
+
+
+def q_ann_lsh_topk(spark, sf):
+    """LSH-bucketed ANN (scale path; rows-only check — bucketing is
+    hash-seeded)."""
+    from battetl_spark.analytics.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_cosine_topk(emb, queries, dim=64, k=10, num_planes=4)
+
+
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: LWW CDC replay with delete semantics at sf0.001."""
+    return q_cdc_replay(spark, SF1)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "lww_latest_per_key": q_lww_latest_per_key,
+        "cdc_replay": q_cdc_replay,
+        "watermark_filter": q_watermark_filter,
+        "dim_upsert_keys": q_dim_upsert_keys,
+        "minmax_meta_refresh": q_minmax_meta_refresh,
+        "anti_join_new_keys": q_anti_join_new_keys,
+        "running_cumsum": q_running_cumsum,
+        "lag_delta": q_lag_delta,
+        "fractional_crossing": q_fractional_crossing,
+        "first_last": q_first_last,
+        "user_rollup": q_user_rollup,
+        "groupby_agg": q_groupby_agg,
+        "join_enrich": q_join_enrich,
+        "sorted_topk": q_sorted_topk,
+        "union_distinct": q_union_distinct,
+        "unit_milli_scale": q_unit_milli_scale,
+        "interval_parse": q_interval_parse,
+        "datetime_parse_roundtrip": q_datetime_parse_roundtrip,
+        "tz_to_utc": q_tz_to_utc,
+        "json_extract": q_json_extract,
+        "json_pack": q_json_pack,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_token_count": q_doc_token_count,
+        "doc_quality": q_doc_quality,
+        "doc_langid": q_doc_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_minhash_dedup": q_doc_minhash_dedup,
+        "doc_simhash": q_doc_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = r"\b(the|a|and|of|to|in|is|it|for|on)\b"
+    lang_scores = ", ".join(
+        f"len(regexp_extract_all(lower(text), '\\b({'|'.join(m)})\\b')) AS s_{lg}"
+        for lg, m in {
+            "en": ["the", "and", "is", "of", "to"],
+            "es": ["el", "la", "de", "que", "y"],
+            "de": ["der", "die", "und", "das", "ist"],
+            "fr": ["le", "la", "les", "et", "est"],
+        }.items()
+    )
+    return {
+        "lww_latest_per_key": """
+            SELECT user_id,
+                   max(event_id) AS last_event_id,
+                   arg_max(event_type, event_id) AS last_event_type,
+                   round(arg_max(value, event_id), 6) AS last_value,
+                   arg_max(ts, event_id) AS last_ts
+            FROM events GROUP BY user_id
+        """,
+        "cdc_replay": """
+            WITH ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY event_id DESC) AS rn
+              FROM events
+            )
+            SELECT user_id, event_id AS last_event_id,
+                   event_type AS last_event_type,
+                   round(value, 6) AS last_value
+            FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "watermark_filter": """
+            SELECT user_id, count(*)::BIGINT AS n_new,
+                   min(event_id) AS first_new_id
+            FROM events
+            WHERE event_id > (SELECT max(event_id) / 2.0 FROM events)
+            GROUP BY user_id
+        """,
+        "dim_upsert_keys": """
+            SELECT DISTINCT user_id, event_type,
+                   md5(user_id::VARCHAR || '|' || event_type) AS surrogate_id
+            FROM events
+        """,
+        "minmax_meta_refresh": """
+            SELECT user_id, min(ts) AS first_recorded, max(ts) AS last_recorded,
+                   count(*)::BIGINT AS n_rows
+            FROM events GROUP BY user_id
+        """,
+        "anti_join_new_keys": """
+            WITH wm AS (SELECT max(event_id) / 2.0 AS w FROM events),
+            existing AS (SELECT DISTINCT user_id FROM events, wm WHERE event_id <= w),
+            incoming AS (SELECT DISTINCT user_id FROM events, wm WHERE event_id > w)
+            SELECT user_id FROM incoming
+            WHERE user_id NOT IN (SELECT user_id FROM existing)
+        """,
+        "running_cumsum": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                   AS cum_value
+            FROM events WHERE user_id < 40
+        """,
+        "lag_delta": """
+            WITH d AS (
+              SELECT user_id,
+                     value - lag(value) OVER (PARTITION BY user_id
+                                              ORDER BY event_id) AS delta
+              FROM events
+            )
+            SELECT user_id,
+                   round(sum(CASE WHEN delta > 0 THEN delta END), 6) AS sum_pos_delta,
+                   count(CASE WHEN delta < 0 THEN 1 END)::BIGINT AS n_neg_delta
+            FROM d GROUP BY user_id
+        """,
+        "fractional_crossing": """
+            WITH d AS (
+              SELECT user_id, event_id,
+                     sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     sum(value) OVER (PARTITION BY user_id) AS total
+              FROM events WHERE user_id < 40
+            )
+            SELECT user_id,
+                   min(CASE WHEN cum >= 0.5 * total THEN event_id END)
+                   AS half_crossing_event_id
+            FROM d GROUP BY user_id
+        """,
+        "first_last": """
+            SELECT user_id,
+                   arg_min(value, event_id) AS first_value,
+                   arg_max(value, event_id) AS last_value
+            FROM events GROUP BY user_id
+        """,
+        "user_rollup": """
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+                   round(sum(value), 4) AS total_value,
+                   max(ts) AS last_ts
+            FROM events GROUP BY user_id
+        """,
+        "groupby_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_enrich": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "sorted_topk": """
+            SELECT event_id, user_id, round(value, 6) AS value
+            FROM events ORDER BY value DESC, event_id LIMIT 100
+        """,
+        "union_distinct": """
+            SELECT DISTINCT user_id FROM (
+              SELECT user_id FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT user_id FROM events WHERE event_type = 'purchase'
+            )
+        """,
+        "unit_milli_scale": """
+            SELECT event_id,
+                   round((floor(value) * 1000 + event_id % 1000 + 0.25) * 1000,
+                         2) AS value_milli
+            FROM events
+        """,
+        "interval_parse": """
+            SELECT event_id,
+                   round((user_id % 3) * 86400 + 12 * 3600 + 34 * 60
+                         + (event_id % 60), 3)::DOUBLE AS interval_s
+            FROM events
+        """,
+        "datetime_parse_roundtrip": """
+            SELECT event_id,
+                   floor(epoch(ts))::BIGINT AS unixtime_s
+            FROM events
+        """,
+        "tz_to_utc": """
+            SELECT event_id,
+                   floor(epoch(ts AT TIME ZONE 'America/Los_Angeles'))::BIGINT
+                   AS utc_unixtime_s
+            FROM events
+        """,
+        "json_extract": """
+            SELECT event_type,
+                   sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+                   count(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                         THEN 1 END)::BIGINT AS n_null_k
+            FROM events GROUP BY event_type
+        """,
+        "json_pack": """
+            SELECT event_id,
+                   to_json(struct_pack(event_type := event_type,
+                                       user_id := user_id)) AS other_details
+            FROM events WHERE event_id < 1000
+        """,
+        "doc_exact_dedup": """
+            SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+                   count(*)::BIGINT AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "doc_token_count": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+'))::INT AS n_tokens
+            FROM documents
+        """,
+        "doc_quality": rf"""
+            WITH f AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                     length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                       AS n_punct,
+                     len(regexp_extract_all(lower(text), '{stop}')) AS n_stop,
+                     length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace
+              FROM documents
+            )
+            SELECT doc_id, n_tokens::INT AS q_n_tokens,
+                   round(n_punct / greatest(n_chars, 1), 6) AS q_punct_ratio,
+                   round(n_stop / greatest(n_tokens, 1), 6) AS q_stop_ratio,
+                   round(
+                     least(n_tokens / 64.0, 1.0) * 0.4
+                     + least((n_stop / greatest(n_tokens, 1)) * 4.0, 1.0) * 0.3
+                     + (1.0 - least((n_punct / greatest(n_chars, 1)) * 10.0, 1.0)) * 0.2
+                     + (CASE WHEN n_nospace / greatest(n_tokens, 1) BETWEEN 3 AND 8
+                        THEN 0.1 ELSE 0.0 END), 6) AS q_score
+            FROM f
+        """,
+        "doc_langid": rf"""
+            WITH s AS (SELECT doc_id, {lang_scores} FROM documents),
+            p AS (
+              SELECT doc_id,
+                     greatest(s_de, s_en, s_es, s_fr) AS best,
+                     CASE
+                       WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                       ELSE 'fr'
+                     END AS pred_lang
+              FROM s
+            )
+            SELECT pred_lang, count(*)::BIGINT AS n_docs FROM p GROUP BY pred_lang
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS content_md5
+            FROM documents
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 5
+            ),
+            sims AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                    e.embedding::DOUBLE[]))
+                              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, vec_id) AS rank
+              FROM sims
+            )
+            SELECT query_id, vec_id, cos_sim, rank::INT AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        # doc_minhash_dedup / doc_simhash / ann_lsh_topk: hash-seeded
+        # internals are engine-specific → rows-only checks (documented).
+    }

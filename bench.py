@@ -1,0 +1,132 @@
+"""Bench harness (driver contract): runs the headline workloads at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline = CDC merge-apply replay (the north-star metric): a distributed
+deterministic change-event stream (20x the sf's events rows, hot-key skewed)
+merged into a bucketed LakeTable in microbatches; throughput is reported as
+events/sec alongside per-query seconds for the analytic operator families.
+
+Scaling evidence (two parallelism levels) is produced by
+tools/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cdc_merge(spark, n_events: int, n_batches: int = 4, num_buckets: int = 64,
+                  dedup_strategy: str = "agg") -> dict:
+    """Merge-apply replay benchmark; returns timing + throughput."""
+    from battetl_spark.cdc import merge_apply
+    from battetl_spark.fixtures import spark_change_events
+    from battetl_spark.lake import LakeTable
+    from battetl_spark.schemas import KEY_COLS, TRANSCRIPT_TABLE_SCHEMA
+
+    work = tempfile.mkdtemp(prefix="bench-lake-")
+    try:
+        table = LakeTable.create(
+            spark, os.path.join(work, "transcripts"), TRANSCRIPT_TABLE_SCHEMA,
+            num_buckets=num_buckets, key_cols=KEY_COLS, sort_cols=KEY_COLS,
+        )
+        n_convs = max(1000, n_events // 200)
+        batch = n_events // n_batches
+        t0 = time.time()
+        for i in range(n_batches):
+            ev = spark_change_events(
+                spark, batch, n_convs=n_convs, seed=42 + i
+            ).withColumn("lsn", ev_lsn(i, batch))
+            merge_apply(table, ev, epoch_id=i, dedup_strategy=dedup_strategy,
+                        collect_lineage=False)
+        elapsed = time.time() - t0
+        final_rows = table.scan().count()
+        return {
+            "events": n_events,
+            "seconds": round(elapsed, 3),
+            "events_per_sec": round(n_events / elapsed, 1),
+            "final_rows": final_rows,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def ev_lsn(batch_idx: int, batch_size: int):
+    from pyspark.sql import functions as F
+
+    return F.col("lsn") + batch_idx * batch_size
+
+
+ANALYTIC_QUERIES = [
+    "lww_latest_per_key",
+    "cdc_replay",
+    "running_cumsum",
+    "user_rollup",
+    "groupby_agg",
+    "join_enrich",
+    "doc_quality",
+    "doc_fingerprint",
+    "doc_minhash_dedup",
+    "ann_cosine_topk",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("BENCH_EVENTS", "0")) or None
+
+    from battetl_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus,
+                      app_name="battetl_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+
+    # scale the CDC replay with the sf's events table size (20x)
+    base_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    n_events = n_events or max(200_000, base_events * 20)
+
+    timings: dict[str, float] = {}
+    # warm the JVM/codegen on a trivial action so the first timed query is fair
+    spark.range(1_000_000).count()
+
+    cdc = run_cdc_merge(spark, n_events)
+    timings["cdc_merge_replay"] = cdc["seconds"]
+
+    qs = E.queries()
+    for name in ANALYTIC_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "merge_apply_replay_plus_analytics",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "cdc_events": cdc["events"],
+                "cdc_events_per_sec": cdc["events_per_sec"],
+                "cdc_final_rows": cdc["final_rows"],
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

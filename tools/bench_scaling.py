@@ -1,0 +1,92 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule).
+
+A real N vs 4N executor comparison needs a cluster; the sandbox proxy (per
+driver instruction) runs the IDENTICAL merge-apply job on the SAME input at
+two local parallelism levels (local[8] vs local[32], fresh JVM each) and
+reports throughput at both plus efficiency = (thr_32 / thr_8) / 4.
+
+Writes BENCH/BASELINE.md. Usage:
+  python tools/bench_scaling.py [n_events] [low_cores] [high_cores]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import json, sys, os
+sys.path.insert(0, {repo!r})
+from battetl_spark.session import get_spark
+from bench import run_cdc_merge
+cores = int(sys.argv[1]); n_events = int(sys.argv[2])
+spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=cores,
+                  app_name=f"scaling-{{cores}}")
+spark.sparkContext.setLogLevel("ERROR")
+spark.range(10_000_000).selectExpr("sum(id)").collect()  # JVM/codegen warmup
+res = run_cdc_merge(spark, n_events, n_batches=4)
+print("RESULT " + json.dumps(res))
+"""
+
+
+def run_at(cores: int, n_events: int) -> dict:
+    script = RUNNER.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cores), str(n_events)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT from local[{cores}]: {out.stderr[-2000:]}")
+
+
+def main():
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    print(f"running local[{low}] ...")
+    r_low = run_at(low, n_events)
+    print(r_low)
+    print(f"running local[{high}] ...")
+    r_high = run_at(high, n_events)
+    print(r_high)
+    ratio = high / low
+    eff = (r_high["events_per_sec"] / r_low["events_per_sec"]) / ratio
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    stamp = datetime.now(timezone.utc).isoformat()
+    with open(path, "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — merge-apply throughput + scaling evidence
+
+Generated {stamp} by tools/bench_scaling.py.
+
+North rule: change-events/sec sustained merge-apply throughput, scaling
+efficiency >= 0.8 from N to 4N executors. Sandbox proxy (per driver
+instruction): identical job, identical input ({n_events:,} deterministic
+change events, hot-key skewed, 4 microbatches, 64-bucket LakeTable),
+two local parallelism levels, fresh JVM each.
+
+| config | events | seconds | events/sec | final rows |
+|---|---|---|---|---|
+| local[{low}]  (N proxy)  | {r_low['events']:,} | {r_low['seconds']} | {r_low['events_per_sec']:,} | {r_low['final_rows']:,} |
+| local[{high}] (4N proxy) | {r_high['events']:,} | {r_high['seconds']} | {r_high['events_per_sec']:,} | {r_high['final_rows']:,} |
+
+**Scaling efficiency (thr_{high} / thr_{low}) / {ratio:.0f} = {eff:.3f}**
+(criterion: >= 0.8)
+
+Reference baseline (BattGenie/battetl): single-process pandas, no
+parallelism; see BASELINE.md at repo root for its published constants.
+"""
+        )
+    print(f"efficiency={eff:.3f} -> {path}")
+
+
+if __name__ == "__main__":
+    main()
