@@ -101,9 +101,12 @@ def merge_apply(
     ).withColumn(BUCKET_COL, bucket_expr(snap["bucket_key"], snap["num_buckets"]))
     winners = winners.persist()
     try:
-        buckets = sorted(
-            r[0] for r in winners.select(BUCKET_COL).distinct().collect()
+        # one job: affected buckets + batch max lsn (fence) together
+        bucket_rows = (
+            winners.groupBy(BUCKET_COL).agg(F.max("lsn").alias("mx")).collect()
         )
+        buckets = sorted(r[0] for r in bucket_rows)
+        batch_max_lsn = max((r["mx"] for r in bucket_rows), default=0)
         if not buckets:
             return MergeResult(applied=False)
 
@@ -146,7 +149,9 @@ def merge_apply(
             .when(F.col("op") == "d", F.when(had_live, "deleted").otherwise("unchanged"))
             .when(had_live, F.lit("updated"))
             .otherwise(F.lit("inserted")),
-        ).persist()
+        )
+        if collect_lineage:
+            resolved = resolved.persist()  # reused by counts + write
 
         lineage_rows: list[dict] = []
         ins = upd = dele = 0
@@ -203,8 +208,7 @@ def merge_apply(
 
         fence = None
         if epoch_id is not None:
-            max_lsn = events.agg(F.max("lsn")).collect()[0][0]
-            fence = {"epoch_id": int(epoch_id), "max_lsn": int(max_lsn or 0)}
+            fence = {"epoch_id": int(epoch_id), "max_lsn": int(batch_max_lsn)}
 
         new_snap = table.replace_buckets(
             out,
@@ -223,7 +227,8 @@ def merge_apply(
         )
     finally:
         winners.unpersist()
-        try:
-            resolved.unpersist()
-        except NameError:
-            pass
+        if collect_lineage:
+            try:
+                resolved.unpersist()
+            except NameError:
+                pass

@@ -248,12 +248,20 @@ class LakeTable:
         sort_cols = snap["sort_cols"] or []
         commit_dir = f"commit-{uuid.uuid4().hex}"
         out = os.path.join(self._data_dir, commit_dir)
+        # Range-partition on (bucket, first sort key): buckets stay CONTIGUOUS
+        # per task, so each task writes ~1-2 bucket directories (total files
+        # ≈ n_out + num_buckets) while rows stay balanced even when one
+        # bucket is hot (the range splits it across tasks). Hash partitioning
+        # by bucket alone leaves ~40% of cores idle (collisions); adding the
+        # key to a hash spreads EVERY bucket into EVERY task → n_out × B
+        # small files, which collapses write throughput at high parallelism.
         n_out = target_partitions or max(
-            1, min(df.sparkSession.sparkContext.defaultParallelism, 64)
+            1, df.sparkSession.sparkContext.defaultParallelism * 2
         )
-        w = df.repartition(n_out, BUCKET_COL)
+        lead = (sort_cols or [])[:1]
+        w = df.repartitionByRange(n_out, BUCKET_COL, *lead)
         if sort_cols:
-            w = w.sortWithinPartitions(*sort_cols)
+            w = w.sortWithinPartitions(BUCKET_COL, *sort_cols)
         w.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(out)
         files: dict[str, list[str]] = {}
         for p in glob.glob(os.path.join(out, f"{BUCKET_COL}=*", "*.parquet")):
@@ -324,6 +332,71 @@ class LakeTable:
 
     def fences(self) -> dict:
         return self.snapshot()["fences"]
+
+    # ------------------------------------------------------------ maintenance
+    def compact(self, min_files_per_bucket: int = 4) -> dict | None:
+        """Rewrite buckets whose file count exceeded the threshold into one
+        file each (copy-on-write; snapshot-atomic). Long-running CDC streams
+        accrete one file per bucket per commit — compaction bounds read
+        amplification. Returns the new snapshot, or None if nothing to do."""
+        snap = self.snapshot()
+        crowded = [
+            int(b) for b, entries in snap["files"].items()
+            if len(entries) >= min_files_per_bucket
+        ]
+        if not crowded:
+            return None
+        rows = self.scan(crowded, snap, include_deleted=True).withColumn(
+            BUCKET_COL, bucket_expr(snap["bucket_key"], snap["num_buckets"])
+        )
+        # one range partition per bucket → one output file per bucket
+        return self.replace_buckets(rows, crowded, target_partitions=len(crowded))
+
+    def vacuum_tombstones(self, below_lsn: int) -> dict | None:
+        """Drop tombstones with _last_lsn < below_lsn (older than the
+        source's max reorder horizon — late events below this LSN can no
+        longer arrive, so the fence rows are dead weight)."""
+        snap = self.snapshot()
+        if "_deleted" not in {f.name for f in self.schema.fields}:
+            return None
+        all_buckets = [int(b) for b in snap["files"]]
+        if not all_buckets:
+            return None
+        rows = self.scan(all_buckets, snap, include_deleted=True)
+        kept = rows.filter(
+            ~(
+                F.coalesce(F.col("_deleted"), F.lit(False))
+                & (F.col("_last_lsn") < F.lit(below_lsn))
+            )
+        ).withColumn(BUCKET_COL, bucket_expr(snap["bucket_key"], snap["num_buckets"]))
+        return self.replace_buckets(kept, all_buckets)
+
+    def vacuum_files(self, keep_snapshots: int = 2) -> list[str]:
+        """Delete data files referenced by NO retained snapshot and drop
+        metadata older than the last ``keep_snapshots`` versions. Safe order:
+        metadata first (readers can no longer reach old versions), then
+        unreferenced files. Returns deleted file paths."""
+        versions = sorted(
+            int(os.path.basename(p)[1:-5])
+            for p in glob.glob(os.path.join(self._meta_dir, "v*.json"))
+        )
+        retained = versions[-keep_snapshots:]
+        live: set[str] = set()
+        for v in retained:
+            with open(os.path.join(self._meta_dir, f"v{v:08d}.json")) as f:
+                s = json.load(f)
+            for entries in s["files"].values():
+                for e in entries:
+                    live.add(os.path.join(self.path, e["path"]))
+        for v in versions[:-keep_snapshots]:
+            os.remove(os.path.join(self._meta_dir, f"v{v:08d}.json"))
+        deleted = []
+        for p in glob.glob(os.path.join(self._data_dir, "commit-*", "**", "*.parquet"),
+                           recursive=True):
+            if p not in live:
+                os.remove(p)
+                deleted.append(p)
+        return deleted
 
     def lineage_df(self) -> DataFrame:
         """All lineage rows across all snapshots, as a DataFrame."""

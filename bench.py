@@ -25,14 +25,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_cdc_merge(spark, n_events: int, n_batches: int = 4, num_buckets: int = 64,
-                  dedup_strategy: str = "agg") -> dict:
+                  dedup_strategy: str = "agg", work_dir: str | None = None) -> dict:
     """Merge-apply replay benchmark; returns timing + throughput."""
     from battetl_spark.cdc import merge_apply
     from battetl_spark.fixtures import spark_change_events
     from battetl_spark.lake import LakeTable
     from battetl_spark.schemas import KEY_COLS, TRANSCRIPT_TABLE_SCHEMA
 
-    work = tempfile.mkdtemp(prefix="bench-lake-")
+    work = work_dir or tempfile.mkdtemp(prefix="bench-lake-")
     try:
         table = LakeTable.create(
             spark, os.path.join(work, "transcripts"), TRANSCRIPT_TABLE_SCHEMA,
@@ -87,7 +87,11 @@ def main():
     from battetl_spark.session import get_spark
 
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus,
-                      app_name="battetl_spark-bench")
+                      app_name="battetl_spark-bench",
+                      extra_conf={
+                          "spark.sql.files.maxPartitionBytes": "8m",
+                          "spark.sql.files.openCostInBytes": "256k",
+                      })
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as E

@@ -1,0 +1,62 @@
+"""Table maintenance: compaction, tombstone vacuum, file GC."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+
+from battetl_spark import fixtures as FX
+from battetl_spark.cdc import merge_apply
+from battetl_spark.lake import LakeTable
+from battetl_spark.schemas import KEY_COLS, TRANSCRIPT_TABLE_SCHEMA
+from tests.conftest import assert_pdf_equal
+
+ALL = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "_last_lsn"]
+
+
+def build(spark, tmp_path, n_batches=4):
+    base = FX.make_transcripts(seed=11, n_convs=30, max_turns=6)
+    events = FX.make_change_events(seed=12, n_events=1500, n_convs=40, max_turns=6)
+    t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_TABLE_SCHEMA,
+                         num_buckets=4, key_cols=KEY_COLS, sort_cols=KEY_COLS)
+    t.append(FX.table_rows_df(spark, base))
+    for i, ch in enumerate(np.array_split(events, n_batches)):
+        merge_apply(t, FX.change_events_df(spark, ch.reset_index(drop=True)), epoch_id=i)
+    return t, FX.pandas_oracle_replay(base, events)
+
+
+def state(t):
+    return t.scan().orderBy(*KEY_COLS).toPandas()[ALL].reset_index(drop=True)
+
+
+def test_compact_preserves_state(spark, tmp_path):
+    t, expected = build(spark, tmp_path)
+    before_files = sum(len(v) for v in t.snapshot()["files"].values())
+    snap = t.compact(min_files_per_bucket=2)
+    assert snap is not None
+    after_files = sum(len(v) for v in t.snapshot()["files"].values())
+    assert after_files < before_files
+    assert_pdf_equal(state(t), expected, KEY_COLS)
+
+
+def test_vacuum_tombstones_keeps_live_rows_and_fencing(spark, tmp_path):
+    t, expected = build(spark, tmp_path)
+    dead_before = t.scan(include_deleted=True).filter("_deleted").count()
+    assert dead_before > 0
+    t.vacuum_tombstones(below_lsn=10_000)  # horizon beyond all lsns
+    assert t.scan(include_deleted=True).filter("_deleted").count() == 0
+    assert_pdf_equal(state(t), expected, KEY_COLS)
+
+
+def test_vacuum_files_removes_unreferenced(spark, tmp_path):
+    t, expected = build(spark, tmp_path)
+    t.compact(min_files_per_bucket=2)
+    all_files = glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"),
+                          recursive=True)
+    deleted = t.vacuum_files(keep_snapshots=1)
+    assert deleted and len(deleted) < len(all_files)
+    assert all(not os.path.exists(p) for p in deleted)
+    assert_pdf_equal(state(t), expected, KEY_COLS)  # current snapshot intact
