@@ -37,6 +37,38 @@ def load_env(path: str = ".env") -> dict[str, str]:
     return out
 
 
+def read_pickle(spark, path: str):
+    """Pickled pandas frame → DataFrame (S5 analog, reference
+    Extractor.py:832-854). Test/golden-file use only — driver-side by
+    design (pickles are small fixtures, not data)."""
+    import pandas as pd
+
+    return spark.createDataFrame(pd.read_pickle(path))
+
+
+def read_unstructured(spark, path: str, reader_kwargs: dict | None = None):
+    """User-configured CSV/XLSX read (S4 analog, Extractor.py:127-187).
+    CSV goes through the distributed reader; XLSX (no distributed codec in
+    this container) reads via pandas on the driver — gated, small files
+    only, mirroring the reference's semantics."""
+    kw = reader_kwargs or {}
+    if path.lower().endswith((".xlsx", ".xls")):
+        import pandas as pd
+
+        try:
+            pdf = pd.read_excel(path, **kw)
+        except ImportError as e:  # openpyxl absent in sandbox
+            raise NotImplementedError(
+                "xlsx reading requires openpyxl (not in this container); "
+                "convert to CSV or install the codec"
+            ) from e
+        return spark.createDataFrame(pdf.astype(str))
+    reader = spark.read.option("header", str(kw.get("header", True)).lower())
+    if "sep" in kw:
+        reader = reader.option("sep", kw["sep"])
+    return reader.csv(path)
+
+
 def read_report_header(path: str, max_lines: int = 30) -> dict[str, str] | None:
     """'TEST REPORT'-style metadata preamble → dict; None if the file is a
     data file (reference __read_global_info Extractor.py:764-830 — produces
