@@ -140,6 +140,10 @@ def normalize_cycler_data(
     ``{canonical: {"column_name": src, "scaling_factor": f}}``; required keys
     voltage_mv/current_ma/test_time_s are validated (utils.py:418-463).
     """
+    # P3: drop all-null RAW rows first (reference utils.py:116-135) — must
+    # run on source columns; derived cols like F.array(...) are never null,
+    # so a post-transform filter would constant-fold to true.
+    df = df.na.drop(how="all")
     src_cols = df.columns
     by_norm = {_norm(c): c for c in src_cols}
     make = detect_source(src_cols)
@@ -227,14 +231,6 @@ def normalize_cycler_data(
     out = df.select(*exprs)
     if "recorded_datetime" in out.columns:
         out = out.withColumn("unixtime_s", unixtime_s("recorded_datetime"))  # P9
-
-    # drop all-null rows (P3, reference utils.py:116-135)
-    non_null = None
-    for c in out.columns:
-        cond = F.col(c).isNotNull()
-        non_null = cond if non_null is None else (non_null | cond)
-    if non_null is not None:
-        out = out.filter(non_null)
 
     ordered = [c for c in CANONICAL_ORDER if c in out.columns] + [
         c for c in out.columns if c not in CANONICAL_ORDER

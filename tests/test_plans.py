@@ -1,0 +1,75 @@
+"""Plan-shape assertions: the optimizations the engine claims must be
+visible in the physical plan (guards against silent regressions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df, mode="formatted"):
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            mode
+        )
+    )
+
+
+def test_column_pruning_reaches_scan(spark):
+    p = plan(E.q_groupby_agg(spark, SF))
+    # only the 5 needed lineitem columns are read, not all 11
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_quantity" in read and "l_shipdate" not in read and "l_partkey" not in read
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = plan(
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select("event_id")
+    )
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
+    assert "EqualTo(event_type,click)" in pushed
+
+
+def test_partial_aggregation_present(spark):
+    """Map-side combine on the LWW winner agg — the skew-safety claim."""
+    from battetl_spark.cdc.dedup import lww_winners
+    from battetl_spark.fixtures import spark_change_events
+
+    p = plan(lww_winners(spark_change_events(spark, 1000)), "simple")
+    assert "partial_max_by" in p or "partial" in p.lower()
+
+
+def test_broadcast_join_chosen(spark):
+    p = plan(E.q_join_enrich(spark, SF), "simple")
+    assert "BroadcastHashJoin" in p
+
+
+def test_whole_stage_codegen_covers_transform(spark):
+    """The vendor-normalization select stays inside codegen (JVM-side)."""
+    from battetl_spark.transform.normalize import normalize_cycler_data
+
+    df = spark.createDataFrame(
+        [("0", "1", "100.0", "1.0", "2.0", "0.5", "0.1", "3.7",
+          "08/16/2026 10:00:00", "25.0")],
+        ["Cyc#", "Step", "TestTime(s)", "StepTime(s)", "Capacity(Ah)",
+         "Watt-hr", "Current(A)", "Voltage(V)", "DPt Time", "Temp 1"],
+    )
+    p = plan(normalize_cycler_data(df), "simple")
+    assert "*(1)" in p  # whole-stage-codegen stage marker in simple mode
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_no_python_udf_in_query_surface(spark):
+    """Every oracle-checked query must be pure JVM (the vectorized-only rule;
+    simhash/multimodal are the explicit Arrow exceptions and are rows-only)."""
+    for name, fn in E.queries().items():
+        if name in ("doc_simhash",):
+            continue
+        p = plan(fn(spark, SF), "simple")
+        assert "BatchEvalPython" not in p, f"{name} uses a row-wise Python UDF"
