@@ -68,15 +68,31 @@ def test_one_shot_batch_apply_matches_oracle(spark, tmp_path, base_pdf, events_p
     )
 
 
-@pytest.mark.parametrize("k", [7])
+@pytest.mark.parametrize("k", [1, 7])
 def test_microbatched_apply_matches_oracle(spark, tmp_path, base_pdf, events_pdf, k):
     """K-microbatch apply (arrival order!) must equal the one-shot result —
-    cross-batch late events are no-ops via _last_lsn."""
-    t = seeded_table(spark, tmp_path, base_pdf)
+    cross-batch late events are no-ops via _last_lsn (FIXTURES.md F3)."""
+    t = seeded_table(spark, tmp_path / f"k{k}", base_pdf)
     chunks = np.array_split(events_pdf, k)  # arrival order incl. out-of-order lsn
     for i, chunk in enumerate(chunks):
         merge_apply(t, FX.change_events_df(spark, chunk.reset_index(drop=True)), epoch_id=i)
     expected = FX.pandas_oracle_replay(base_pdf, events_pdf)
+    assert_pdf_equal(table_state(t), expected, KEY_COLS)
+
+
+def test_many_microbatches_k64(spark, tmp_path, base_pdf):
+    """K=64 tiny batches (FIXTURES.md F3 upper bound) — batch-boundary
+    independence at the extreme; reduced event count keeps it fast."""
+    events = FX.make_change_events(
+        seed=44, n_events=640, n_convs=70, max_turns=12, dup_rate=0.05
+    )
+    t = seeded_table(spark, tmp_path / "k64", base_pdf, num_buckets=4)
+    for i, chunk in enumerate(np.array_split(events, 64)):
+        merge_apply(
+            t, FX.change_events_df(spark, chunk.reset_index(drop=True)),
+            epoch_id=i, collect_lineage=False,
+        )
+    expected = FX.pandas_oracle_replay(base_pdf, events)
     assert_pdf_equal(table_state(t), expected, KEY_COLS)
 
 
