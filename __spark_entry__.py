@@ -379,6 +379,21 @@ def q_doc_fingerprint(spark, sf):
     return d.select("doc_id", F.md5(normalized_text("text")).alias("content_md5"))
 
 
+def q_doc_bpe_tokens(spark, sf):
+    from battetl_spark.analytics.textops import bpe_ish_token_count
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", bpe_ish_token_count("text").alias("n_pieces"))
+
+
+def q_doc_ngram_jaccard(spark, sf):
+    """Exact n-gram Jaccard near-dup pairs (blocking is hash-seeded →
+    rows-only check; exactness covered by planted-copy pytest)."""
+    from battetl_spark.analytics.textops import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.8)
+
+
 def q_doc_minhash_dedup(spark, sf):
     """MinHash+LSH near-dup pairs (no SQL oracle: xxhash64 signatures are
     Spark-specific; driver records rows-only check)."""
@@ -453,6 +468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_minhash_dedup": q_doc_minhash_dedup,
         "doc_simhash": q_doc_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -672,6 +689,13 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT pred_lang, count(*)::BIGINT AS n_docs FROM p GROUP BY pred_lang
+        """,
+        "doc_bpe_tokens": r"""
+            SELECT doc_id,
+                   list_sum(list_transform(
+                       regexp_split_to_array(trim(text), '\s+'),
+                       w -> ceil(length(w) / 4.0)))::INT AS n_pieces
+            FROM documents
         """,
         "doc_fingerprint": r"""
             SELECT doc_id,

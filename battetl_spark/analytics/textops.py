@@ -57,22 +57,15 @@ def token_count(col="text"):
 
 
 def bpe_ish_token_count(col="text"):
-    """BPE-flavored proxy: word pieces of <=4 chars via regex splitting —
-    counts subword units deterministically without a tokenizer dependency."""
+    """BPE-flavored proxy: words split into <=4-char pieces — counts subword
+    units deterministically without a tokenizer dependency."""
     c = F.col(col) if isinstance(col, str) else col
-    # split words longer than 4 chars into 4-char pieces
-    pieces = F.expr(
-        f"aggregate(split(trim({_sql(c)}), '\\\\s+'), 0, "
-        "(acc, w) -> acc + int(ceil(length(w) / 4.0)))"
+    words = F.split(F.trim(c), r"\s+")
+    return F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("int"),
     )
-    return pieces
-
-
-def _sql(c) -> str:
-    # Column -> SQL fragment for embedding in F.expr (names only)
-    s = str(c)
-    # Column repr looks like Column<'text'>
-    return s.split("'")[1] if "'" in s else s
 
 
 # ------------------------------------------------------------ quality score

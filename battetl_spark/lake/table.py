@@ -236,7 +236,10 @@ class LakeTable:
 
     # ----------------------------------------------------------------- write
     def _write_data(
-        self, df: DataFrame, target_partitions: int | None = None
+        self,
+        df: DataFrame,
+        target_partitions: int | None = None,
+        files_per_bucket: int = 4,
     ) -> dict[str, list[str]]:
         """Write rows (must carry BUCKET_COL) into a fresh commit dir,
         one hive-style subdir per bucket; returns {bucket: [rel paths]}.
@@ -248,18 +251,24 @@ class LakeTable:
         sort_cols = snap["sort_cols"] or []
         commit_dir = f"commit-{uuid.uuid4().hex}"
         out = os.path.join(self._data_dir, commit_dir)
-        # Range-partition on (bucket, first sort key): buckets stay CONTIGUOUS
-        # per task, so each task writes ~1-2 bucket directories (total files
-        # ≈ n_out + num_buckets) while rows stay balanced even when one
-        # bucket is hot (the range splits it across tasks). Hash partitioning
-        # by bucket alone leaves ~40% of cores idle (collisions); adding the
-        # key to a hash spreads EVERY bucket into EVERY task → n_out × B
-        # small files, which collapses write throughput at high parallelism.
+        # Hash-partition on (bucket, small key-salt): each (bucket, salt)
+        # combo lands in exactly one task, so a bucket writes to <= SALTS
+        # files, a hot bucket splits across SALTS tasks, and rows balance by
+        # the hash — with NO sampling pass (repartitionByRange samples its
+        # child, executing the whole upstream merge pipeline twice; measured
+        # 17% slower). Hash by bucket alone idles ~40% of cores (collisions);
+        # hash by (bucket, full key) writes n_out × B tiny files.
         n_out = target_partitions or max(
             1, df.sparkSession.sparkContext.defaultParallelism * 2
         )
-        lead = (sort_cols or [])[:1]
-        w = df.repartitionByRange(n_out, BUCKET_COL, *lead)
+        lead = (sort_cols or [BUCKET_COL])[0]
+        # seeded independently of bucket_expr: pmod(xxhash64(key), B) and
+        # pmod(xxhash64(key), S) are correlated when S divides B (the salt
+        # would collapse to bucket % S and never split a bucket)
+        salt = F.pmod(
+            F.xxhash64(F.col(lead), F.lit(0x5A17)), F.lit(max(1, files_per_bucket))
+        )
+        w = df.repartition(n_out, F.col(BUCKET_COL), salt)
         if sort_cols:
             w = w.sortWithinPartitions(BUCKET_COL, *sort_cols)
         w.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(out)
@@ -277,12 +286,13 @@ class LakeTable:
         fence: dict | None = None,
         lineage: list[dict] | None = None,
         target_partitions: int | None = None,
+        files_per_bucket: int = 4,
     ) -> dict:
         """Copy-on-write commit: the given buckets' contents become exactly
         ``df`` (which must carry BUCKET_COL); all other buckets carry over.
         ``fence`` = {"epoch_id": int, "max_lsn": int, ...} recorded atomically
         with the data swap."""
-        new_files = self._write_data(df, target_partitions)
+        new_files = self._write_data(df, target_partitions, files_per_bucket)
 
         replaced = {int(b) for b in buckets}
 
@@ -349,8 +359,10 @@ class LakeTable:
         rows = self.scan(crowded, snap, include_deleted=True).withColumn(
             BUCKET_COL, bucket_expr(snap["bucket_key"], snap["num_buckets"])
         )
-        # one range partition per bucket → one output file per bucket
-        return self.replace_buckets(rows, crowded, target_partitions=len(crowded))
+        # unsalted, one partition per bucket → one output file per bucket
+        return self.replace_buckets(
+            rows, crowded, target_partitions=len(crowded), files_per_bucket=1
+        )
 
     def vacuum_tombstones(self, below_lsn: int) -> dict | None:
         """Drop tombstones with _last_lsn < below_lsn (older than the
