@@ -340,6 +340,64 @@ def q_json_pack(spark, sf):
 
 
 # --------------------------------------------------------------------------
+# Relational operators Spark lacks as built-ins (composed, pure Catalyst)
+# --------------------------------------------------------------------------
+
+def q_asof_join(spark, sf):
+    """As-of join: each purchase enriched with the latest prior view's value
+    per user (log-structured union+forward-fill idiom, one shuffle)."""
+    from battetl_spark.operators import asof_join
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.round("value", 6).alias("purchase_value")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", F.round("value", 6).alias("value")
+    )
+    out = asof_join(purchases, views, ["user_id"], "event_id", ["value"])
+    return out.select(
+        "user_id", "event_id", "purchase_value",
+        F.round("value_asof", 6).alias("value_asof"),
+    )
+
+
+def q_range_join_count(spark, sf):
+    """Range join: views within the 1000 event-ids before each purchase."""
+    from battetl_spark.operators import range_join_count
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "event_id")
+    return range_join_count(purchases, views, ["user_id"], "event_id", 0, 1000)
+
+
+def q_time_bucket_rollup(spark, sf):
+    """Hypertable rollup: hourly buckets per event_type."""
+    from battetl_spark.operators import time_bucket_rollup
+
+    ev = _t(spark, sf, "events")
+    return time_bucket_rollup(
+        ev, "ts", "hour", ["event_type"],
+        [F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")],
+    )
+
+
+def q_sessionize(spark, sf):
+    """Gap-based sessionization (1h gap) → sessions per user."""
+    from battetl_spark.operators import sessionize
+
+    ev = _t(spark, sf, "events")
+    s = sessionize(ev, ["user_id"], "ts", 3600.0)
+    return s.groupBy("user_id").agg(
+        (F.max("session_id") + 1).alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Training-data pipeline family (documents / embeddings)
 # --------------------------------------------------------------------------
 
@@ -463,6 +521,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tz_to_utc": q_tz_to_utc,
         "json_extract": q_json_extract,
         "json_pack": q_json_pack,
+        "asof_join": q_asof_join,
+        "range_join_count": q_range_join_count,
+        "time_bucket_rollup": q_time_bucket_rollup,
+        "sessionize": q_sessionize,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
@@ -641,6 +703,48 @@ def oracle_sql() -> dict[str, str]:
                    to_json(struct_pack(event_type := event_type,
                                        user_id := user_id)) AS other_details
             FROM events WHERE event_id < 1000
+        """,
+        "asof_join": """
+            WITH p AS (SELECT user_id, event_id, round(value, 6) AS purchase_value
+                       FROM events WHERE event_type = 'purchase'),
+                 v AS (SELECT user_id, event_id, round(value, 6) AS value
+                       FROM events WHERE event_type = 'view')
+            SELECT p.user_id, p.event_id, p.purchase_value,
+                   round(v.value, 6) AS value_asof
+            FROM p ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND p.event_id >= v.event_id
+        """,
+        "range_join_count": """
+            WITH p AS (SELECT user_id, event_id FROM events
+                       WHERE event_type = 'purchase'),
+                 v AS (SELECT user_id, event_id FROM events
+                       WHERE event_type = 'view')
+            SELECT p.user_id, p.event_id,
+                   count(v.event_id)::BIGINT AS n_in_range
+            FROM p LEFT JOIN v
+              ON p.user_id = v.user_id
+             AND v.event_id >= p.event_id - 1000
+             AND v.event_id < p.event_id
+            GROUP BY p.user_id, p.event_id
+        """,
+        "time_bucket_rollup": """
+            SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+                   count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                          (PARTITION BY user_id ORDER BY ts)) > 3600
+                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             IS NULL
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            )
+            SELECT user_id, sum(new_sess)::BIGINT AS n_sessions,
+                   count(*)::BIGINT AS n_events
+            FROM g GROUP BY user_id
         """,
         "doc_exact_dedup": """
             SELECT md5(text) AS digest, min(doc_id) AS keep_id,

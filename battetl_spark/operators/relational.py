@@ -1,0 +1,149 @@
+"""Relational operators Spark lacks as built-ins, composed from DataFrame
+primitives (per the build brief: composition first, pandas fallback never
+needed here — all pure Catalyst).
+
+- ``asof_join``: for each left row, the latest right row with
+  right.order <= left.order per key. Implemented as union + forward-fill
+  (last non-null over an ordered window) — ONE shuffle on (key), no
+  cross/inequality join. This is the standard log-structured as-of idiom:
+  at 100 TB both sides shuffle once by key and stream through a window,
+  vs a per-row range probe.
+- ``range_join_count``: per left row, count right rows within a bounded
+  interval before it. Equi-join on key + interval predicate; the bound keeps
+  the join selective (Catalyst pushes the range predicate into the join).
+- ``time_bucket_rollup``: hypertable-style time_bucket aggregation —
+  date_trunc + groupBy, partial-agg friendly.
+- ``sessionize``: gap-based sessions via lag + running sum of
+  session-starts — the windowed sessionization idiom (one shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_cols: list[str],
+    tolerance: float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left rows enriched with the latest right row at-or-before them.
+
+    Both inputs must share ``key_cols`` and ``order_col``. Right's
+    ``value_cols`` appear as ``<name><suffix>`` (NULL when no prior right
+    row, or when the match is older than ``tolerance`` in order units).
+    """
+    l_tag = left.select(
+        *key_cols, order_col, *[c for c in left.columns if c not in key_cols + [order_col]],
+        F.lit(1).alias("__is_left"),
+    )
+    r_tag = right.select(
+        *key_cols,
+        order_col,
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.lit(0).alias("__is_left"),
+    )
+    merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    # right rows sort before left rows at equal order value → a right row at
+    # exactly left.order IS visible to that left row (<= semantics)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(order_col), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        "*",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in value_cols
+        ],
+        F.last(
+            F.when(F.col("__is_left") == 0, F.col(order_col)), ignorenulls=True
+        ).over(w).alias("__right_order"),
+    )
+    out = filled.filter(F.col("__is_left") == 1)
+    within = (
+        F.lit(True)
+        if tolerance is None
+        else (F.col(order_col) - F.col("__right_order")) <= F.lit(tolerance)
+    )
+    out = out.select(
+        *[c for c in left.columns],
+        *[
+            F.when(F.col("__right_order").isNotNull() & within, F.col(f"__f_{c}"))
+            .alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return out
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    lower: float,
+    upper: float,
+    count_alias: str = "n_in_range",
+) -> DataFrame:
+    """Per left row: count of right rows with
+    left.order - upper <= right.order < left.order - lower (same key)."""
+    l = left.alias("l")
+    r = right.alias("r")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else (cond & c)
+    lo = F.col(f"l.{order_col}") - F.lit(upper)
+    hi = F.col(f"l.{order_col}") - F.lit(lower)
+    joined = l.join(
+        r, cond & (F.col(f"r.{order_col}") >= lo) & (F.col(f"r.{order_col}") < hi),
+        "left",
+    )
+    return joined.groupBy(*[F.col(f"l.{c}") for c in left.columns]).agg(
+        F.count(F.col(f"r.{order_col}")).alias(count_alias)
+    )
+
+
+def time_bucket_rollup(
+    df: DataFrame,
+    ts_col: str,
+    bucket: str = "hour",
+    group_cols: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    """Hypertable-style rollup: date_trunc(bucket) + groupBy."""
+    group_cols = group_cols or []
+    aggs = aggs or [F.count("*").alias("n")]
+    return (
+        df.withColumn("__bucket_ts", F.date_trunc(bucket, F.col(ts_col)))
+        .groupBy("__bucket_ts", *group_cols)
+        .agg(*aggs)
+        .withColumnRenamed("__bucket_ts", "bucket_ts")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_seconds: float,
+) -> DataFrame:
+    """Gap-based session ids per key: a new session starts when the time
+    since the previous event exceeds ``gap_seconds``. Adds ``session_id``
+    (0-based per key, ordered by time)."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    gap = F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col).over(w))
+    new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    run = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn("session_id", F.sum(new_sess).over(run) - 1)
