@@ -343,6 +343,37 @@ class LakeTable:
     def fences(self) -> dict:
         return self.snapshot()["fences"]
 
+    # ------------------------------------------------------------ time travel
+    def snapshot_at(self, version: int) -> dict:
+        p = os.path.join(self._meta_dir, f"v{version:08d}.json")
+        if not os.path.exists(p):
+            raise ValueError(f"snapshot version {version} does not exist")
+        with open(p) as f:
+            return json.load(f)
+
+    def scan_at(self, version: int, include_deleted: bool = False) -> DataFrame:
+        """Time travel: read the table as of an earlier snapshot (data files
+        are immutable; history lives until vacuum_files drops it)."""
+        return self.scan(snap=self.snapshot_at(version), include_deleted=include_deleted)
+
+    def rollback(self, version: int) -> dict:
+        """Roll the table back to an earlier snapshot's state as a NEW
+        commit (history preserved — the rollback itself is undoable).
+        Fences are kept from the CURRENT snapshot: epochs applied since
+        ``version`` stay fenced, so a stream resuming after rollback does
+        not double-apply them."""
+        old = self.snapshot_at(version)
+
+        def mutate(snap):
+            snap["files"] = old["files"]
+            snap["schema"] = old["schema"]
+            snap["schemas"] = {**old["schemas"], **snap["schemas"]}
+            snap["current_schema_id"] = old["current_schema_id"]
+            snap["lineage"] = []
+            return snap
+
+        return self.commit(mutate)
+
     # ------------------------------------------------------------ maintenance
     def compact(self, min_files_per_bucket: int = 4) -> dict | None:
         """Rewrite buckets whose file count exceeded the threshold into one

@@ -78,6 +78,9 @@ ANALYTIC_QUERIES = [
     "user_rollup",
     "groupby_agg",
     "join_enrich",
+    "asof_join",
+    "sessionize",
+    "time_bucket_rollup",
     "doc_quality",
     "doc_fingerprint",
     "doc_minhash_dedup",

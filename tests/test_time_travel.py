@@ -1,0 +1,53 @@
+"""Time travel + rollback on the snapshot chain."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from battetl_spark import fixtures as FX
+from battetl_spark.cdc import merge_apply
+from battetl_spark.lake import LakeTable
+from battetl_spark.schemas import KEY_COLS, TRANSCRIPT_TABLE_SCHEMA
+from tests.conftest import assert_pdf_equal
+
+ALL = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "_last_lsn"]
+
+
+def state(t, version=None):
+    df = t.scan() if version is None else t.scan_at(version)
+    return df.orderBy(*KEY_COLS).toPandas()[ALL].reset_index(drop=True)
+
+
+def test_time_travel_and_rollback(spark, tmp_path):
+    base = FX.make_transcripts(seed=61, n_convs=15, max_turns=5)
+    events = FX.make_change_events(seed=62, n_events=600, n_convs=20, max_turns=5)
+    t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_TABLE_SCHEMA,
+                         num_buckets=4, key_cols=KEY_COLS, sort_cols=KEY_COLS)
+    t.append(FX.table_rows_df(spark, base))
+    v_seed = t.snapshot()["version"]
+    seed_state = state(t)
+
+    for i, ch in enumerate(np.array_split(events, 2)):
+        merge_apply(t, FX.change_events_df(spark, ch.reset_index(drop=True)), epoch_id=i)
+    v_after = t.snapshot()["version"]
+    after_state = state(t)
+
+    # time travel: the seed snapshot is still byte-readable
+    assert_pdf_equal(state(t, v_seed), seed_state, KEY_COLS)
+
+    # rollback to seed as a new commit; current state == seed state
+    t.rollback(v_seed)
+    assert t.snapshot()["version"] == v_after + 1
+    assert_pdf_equal(state(t), seed_state, KEY_COLS)
+
+    # fences survive rollback: replaying applied epochs is still a no-op
+    r = merge_apply(
+        t, FX.change_events_df(spark, events.iloc[:300].reset_index(drop=True)),
+        epoch_id=0,
+    )
+    assert not r.applied
+    assert_pdf_equal(state(t), seed_state, KEY_COLS)
+
+    # rollback is itself undoable (roll forward to v_after)
+    t.rollback(v_after)
+    assert_pdf_equal(state(t), after_state, KEY_COLS)
