@@ -62,7 +62,7 @@ def merge_apply(
     events: DataFrame,
     epoch_id: int | None = None,
     key_cols: list[str] | None = None,
-    dedup_strategy: str = "agg",
+    dedup_strategy: str = "fused",
     salt_buckets: int = 32,
     collect_lineage: bool = True,
     target_partitions: int | None = None,
@@ -73,6 +73,16 @@ def merge_apply(
     fence map the batch is skipped entirely (idempotent replay). With
     epoch_id=None the merge still applies (ad-hoc batch mode) but has no
     replay protection.
+
+    ``dedup_strategy``:
+    - ``fused`` (default): batch dedup and table-resolution happen in ONE
+      key-shuffled aggregation (the resolve max_by already picks the max-lsn
+      event per key; a separate pre-dedup shuffle is redundant). Affected
+      buckets come from a column-pruned (bucket, max lsn) aggregate over the
+      raw events — a tiny map-side-combined shuffle, not a payload shuffle.
+    - ``agg`` / ``salted`` / ``window``: pre-winnow with that
+      battetl_spark.cdc.dedup strategy first (two shuffles; ``salted`` is
+      the explicit two-phase skew path, equivalence-tested).
     """
     key_cols = key_cols or KEY_COLS
     if epoch_id is not None and table.has_fence(epoch_id):
@@ -84,27 +94,38 @@ def merge_apply(
     payload_cols = [f.name for f in evolved.fields if not f.name.startswith("_")]
     by_name = {f.name: f for f in evolved.fields}
 
-    # -- 1 winner per key (skew-safe) --
-    winners = lww_winners(
-        events, key_cols, "lsn", strategy=dedup_strategy, salt_buckets=salt_buckets
-    )
-    winners = winners.select(
-        *[
-            F.col(c).cast(by_name[c].dataType).alias(c)
-            if c in winners.columns
-            else F.lit(None).cast(by_name[c].dataType).alias(c)
-            for c in payload_cols
-        ],
-        F.col("lsn"),
-        F.col("op"),
-        F.col("source_partition"),
-    ).withColumn(BUCKET_COL, bucket_expr(snap["bucket_key"], snap["num_buckets"]))
-    winners = winners.persist()
+    def project(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[
+                F.col(c).cast(by_name[c].dataType).alias(c)
+                if c in df.columns
+                else F.lit(None).cast(by_name[c].dataType).alias(c)
+                for c in payload_cols
+            ],
+            F.col("lsn"),
+            F.col("op"),
+            F.col("source_partition"),
+        ).withColumn(BUCKET_COL, bucket_expr(snap["bucket_key"], snap["num_buckets"]))
+
+    persisted = None
+    if dedup_strategy == "fused":
+        winners = project(events)
+        # affected buckets + fence max from a column-pruned scan of the raw
+        # batch (only bucket_key + lsn reach the shuffle, post-combine)
+        slim = events.select(
+            bucket_expr(snap["bucket_key"], snap["num_buckets"]).alias(BUCKET_COL),
+            "lsn",
+        )
+    else:
+        winners = project(
+            lww_winners(events, key_cols, "lsn", strategy=dedup_strategy,
+                        salt_buckets=salt_buckets)
+        ).persist()
+        persisted = winners
+        slim = winners.select(BUCKET_COL, "lsn")
     try:
         # one job: affected buckets + batch max lsn (fence) together
-        bucket_rows = (
-            winners.groupBy(BUCKET_COL).agg(F.max("lsn").alias("mx")).collect()
-        )
+        bucket_rows = slim.groupBy(BUCKET_COL).agg(F.max("lsn").alias("mx")).collect()
         buckets = sorted(r[0] for r in bucket_rows)
         batch_max_lsn = max((r["mx"] for r in bucket_rows), default=0)
         if not buckets:
@@ -226,7 +247,8 @@ def merge_apply(
             buckets_rewritten=buckets,
         )
     finally:
-        winners.unpersist()
+        if persisted is not None:
+            persisted.unpersist()
         if collect_lineage:
             try:
                 resolved.unpersist()

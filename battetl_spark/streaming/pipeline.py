@@ -51,7 +51,7 @@ class CdcStream:
         self,
         table: LakeTable,
         checkpoint_dir: str,
-        dedup_strategy: str = "agg",
+        dedup_strategy: str = "fused",
         salt_buckets: int = 32,
         collect_lineage: bool = True,
         on_batch=None,

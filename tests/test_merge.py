@@ -141,9 +141,10 @@ def test_delete_then_reinsert(spark, tmp_path, base_pdf):
 
 
 def test_dedup_strategy_equivalence(spark, tmp_path, base_pdf, events_pdf):
-    """Salted two-phase path must equal the agg path (north-star 4.3.1)."""
+    """All dedup paths (fused single-shuffle default, pre-winnow agg,
+    explicit salted two-phase, window) must agree (north-star 4.3.1)."""
     expected = FX.pandas_oracle_replay(base_pdf, events_pdf)
-    for strat in ("salted", "window"):
+    for strat in ("agg", "salted", "window"):
         t = seeded_table(spark, tmp_path / strat, base_pdf)
         merge_apply(
             t, FX.change_events_df(spark, events_pdf), epoch_id=1,
