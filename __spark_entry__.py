@@ -100,23 +100,27 @@ def q_minmax_meta_refresh(spark, sf):
 
 
 def q_anti_join_new_keys(spark, sf):
-    """J4: dedup anti-join — incoming keys not already in the table
-    (reference Loader.py:174-180 re-load inserts 0 rows)."""
+    """J4: dedup anti-join — incoming (user, hour) slots not already in the
+    table (reference Loader.py:174-180 re-load inserts 0 rows). Keyed on
+    (user_id, hour) with a 99% watermark so the tail contains genuinely new
+    slots and the green row carries information (round-1 shape was vacuous:
+    every user existed on both sides)."""
     ev = _t(spark, sf, "events")
-    half = ev.agg((F.max("event_id") / 2.0).alias("wm"))
+    wm = ev.agg((F.max("event_id") * 0.99).alias("wm"))
+    hour = F.date_trunc("hour", F.col("ts")).alias("bucket_hour")
     existing = (
-        ev.crossJoin(F.broadcast(half))
+        ev.crossJoin(F.broadcast(wm))
         .filter(F.col("event_id") <= F.col("wm"))
-        .select("user_id")
+        .select("user_id", hour)
         .distinct()
     )
     incoming = (
-        ev.crossJoin(F.broadcast(half))
+        ev.crossJoin(F.broadcast(wm))
         .filter(F.col("event_id") > F.col("wm"))
-        .select("user_id")
+        .select("user_id", hour)
         .distinct()
     )
-    return incoming.join(existing, "user_id", "left_anti").select("user_id")
+    return incoming.join(existing, ["user_id", "bucket_hour"], "left_anti")
 
 
 # --------------------------------------------------------------------------
@@ -445,23 +449,34 @@ def q_doc_bpe_tokens(spark, sf):
 
 
 def q_doc_ngram_jaccard(spark, sf):
-    """Exact n-gram Jaccard near-dup pairs (blocking is hash-seeded →
-    rows-only check; exactness covered by planted-copy pytest)."""
+    """Exact n-gram Jaccard pairs via prefix-filter (AllPairs/PPJoin)
+    blocking — GUARANTEED recall, so the output equals the exhaustive
+    all-pairs DuckDB oracle exactly."""
     from battetl_spark.analytics.textops import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.8)
+    return ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.4)
 
 
 def q_doc_minhash_dedup(spark, sf):
-    """MinHash+LSH near-dup pairs (no SQL oracle: xxhash64 signatures are
-    Spark-specific; driver records rows-only check)."""
+    """MinHash-LSH candidates + exact-Jaccard verify: emitted pairs equal the
+    exhaustive all-pairs answer (per-pair miss prob ~8e-8 at j=0.8 with
+    16 bands of 2 hashes; the corpus's true pairs sit at j>=0.8), so the
+    DuckDB oracle is the ground truth."""
     from battetl_spark.analytics.textops import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf, "documents"), jaccard_threshold=0.5)
+    return minhash_lsh_pairs(
+        _t(spark, sf, "documents"),
+        num_hashes=32,
+        jaccard_threshold=0.8,
+        rows_per_band=2,
+        verify="exact",
+    )
 
 
 def q_doc_simhash(spark, sf):
-    """SimHash near-dup pairs (vectorized Arrow kernel; rows-only check)."""
+    """SimHash near-dup pairs — signatures are md5-hex bit votes (pure
+    Catalyst), blocking is the 4×16-bit pigeonhole (guaranteed recall at
+    hamming<=3), so DuckDB reproduces the output bit-for-bit."""
     from battetl_spark.analytics.textops import simhash_near_dups
 
     return simhash_near_dups(_t(spark, sf, "documents"), max_hamming=3)
@@ -479,8 +494,10 @@ def q_ann_cosine_topk(spark, sf):
 
 
 def q_ann_lsh_topk(spark, sf):
-    """LSH-bucketed ANN (scale path; rows-only check — bucketing is
-    hash-seeded)."""
+    """LSH-bucketed ANN (scale path). Hyperplanes are md5-derived ±1 literal
+    arrays and bucket bits come from ORDER-INDEPENDENT integer-quantized
+    dots, so DuckDB computes identical buckets and the full approximate
+    pipeline is oracle-verified end-to-end."""
     from battetl_spark.analytics.similarity import lsh_cosine_topk
 
     emb = _t(spark, sf, "embeddings")
@@ -539,6 +556,111 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _jaccard_pairs_sql(threshold: float) -> str:
+    """Exhaustive all-pairs exact word-3-shingle Jaccard (ground truth for
+    both the prefix-filter and the minhash-verified near-dup queries).
+    DuckDB computes Jaccard over shingle STRINGS; Spark over shingle HASHES —
+    isomorphic set representations (xxhash64 is injective on this corpus)."""
+    return rf"""
+        WITH norm AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                     range(1, greatest(len(w) - 2, 1) + 1),
+                     i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+          FROM norm
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s)) * 1.0
+                     / len(list_distinct(a.s || b.s)), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s)) * 1.0
+              / len(list_distinct(a.s || b.s)) >= {threshold}
+    """
+
+
+def _simhash_pairs_sql(max_hamming: int) -> str:
+    """Exhaustive all-pairs SimHash hamming oracle. Reproduces the engine's
+    signature exactly: token hash bit b = bit (b%4) of md5 hex digit b//4;
+    vote = sum(±1); signature bit set iff vote > 0; stored as two 32-bit
+    halves so xor/bit_count stay sign-free."""
+    votes = ", ".join(
+        f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1)"
+        f" >> {b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << (b - 32)} ELSE 0 END)" for b in range(32, 64)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(0, 32)
+    )
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, md5(t) AS h FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+            FROM documents)
+        ),
+        bits AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id),
+        sigs AS (
+          SELECT doc_id, ({hi})::BIGINT AS hi, ({lo})::BIGINT AS lo FROM bits
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::INT
+                 AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+              <= {max_hamming}
+    """
+
+
+def _ann_lsh_sql(dim: int, num_planes: int, k: int) -> str:
+    """Full-fidelity oracle of the approximate LSH pipeline: identical
+    md5-derived ±1 planes, identical integer-quantized (order-independent)
+    bucket bits, identical in-bucket exact-cosine re-rank."""
+    from battetl_spark.analytics.similarity import QUANT, plane_signs
+
+    signs = plane_signs(num_planes, dim)
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product("
+        f"list_transform(embedding::DOUBLE[], x -> floor(x * {QUANT})), "
+        f"CAST([{', '.join(f'{s}.0' for s in signs[p])}] AS DOUBLE[])) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(num_planes)
+    ) or "0"
+    return f"""
+        WITH withb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket_terms}) AS bucket
+          FROM embeddings
+        ),
+        q AS (
+          SELECT vec_id AS query_id, v AS qv, bucket FROM withb
+          WHERE vec_id < 5
+        ),
+        sims AS (
+          SELECT q.query_id, e.vec_id,
+                 round(list_dot_product(e.v, q.qv)
+                       / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+          FROM withb e JOIN q ON e.bucket = q.bucket
+          WHERE e.vec_id <> q.query_id
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM sims
+        )
+        SELECT query_id, vec_id, cos_sim, rank::INT AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     stop = r"\b(the|a|and|of|to|in|is|it|for|on)\b"
     lang_scores = ", ".join(
@@ -588,11 +710,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "anti_join_new_keys": """
-            WITH wm AS (SELECT max(event_id) / 2.0 AS w FROM events),
-            existing AS (SELECT DISTINCT user_id FROM events, wm WHERE event_id <= w),
-            incoming AS (SELECT DISTINCT user_id FROM events, wm WHERE event_id > w)
-            SELECT user_id FROM incoming
-            WHERE user_id NOT IN (SELECT user_id FROM existing)
+            WITH wm AS (SELECT max(event_id) * 0.99 AS w FROM events),
+            existing AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS bucket_hour
+                         FROM events, wm WHERE event_id <= w),
+            incoming AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS bucket_hour
+                         FROM events, wm WHERE event_id > w)
+            SELECT i.user_id, i.bucket_hour
+            FROM incoming i LEFT JOIN existing e
+              ON i.user_id = e.user_id AND i.bucket_hour = e.bucket_hour
+            WHERE e.user_id IS NULL
         """,
         "running_cumsum": """
             SELECT user_id, event_id,
@@ -828,6 +954,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, cos_sim, rank::INT AS rank
             FROM ranked WHERE rank <= 10
         """,
-        # doc_minhash_dedup / doc_simhash / ann_lsh_topk: hash-seeded
-        # internals are engine-specific → rows-only checks (documented).
+        "doc_ngram_jaccard": _jaccard_pairs_sql(0.4),
+        "doc_minhash_dedup": _jaccard_pairs_sql(0.8),
+        "doc_simhash": _simhash_pairs_sql(3),
+        "ann_lsh_topk": _ann_lsh_sql(dim=64, num_planes=4, k=10),
     }

@@ -3,13 +3,30 @@
 - ``cosine_topk``: brute-force exact top-k — broadcast the (small) query set,
   dot products via zip_with/aggregate (JVM-side), per-query top-k via window.
   At 100 TB this is the correctness baseline and the re-rank stage.
-- ``lsh_cosine_topk``: scale path — random-hyperplane LSH buckets (signature
-  from deterministic hash-based pseudo-planes), candidates = same bucket (or
-  neighboring multi-probe buckets), exact re-rank inside buckets only. The
-  shuffle moves (bucket, id, vector) once; no cross product ever forms.
+- ``lsh_cosine_topk``: scale path — random-hyperplane LSH buckets, candidates
+  = same bucket, exact cosine re-rank inside buckets only. The bucket join
+  replaces the cross join; no cross product ever forms.
+
+Hyperplane design (rewritten after round-1 review):
+- The planes are ±1 sign matrices derived from md5 on the DRIVER
+  (``plane_signs``) and embedded as literal arrays. The previous shape built
+  each plane with ``transform(sequence(0,dim-1), xxhash64(...))`` inline —
+  Catalyst re-expands such a construction once per plane (measured 100×
+  blowup class; CLAUDE.md invariant). With literal sign arrays each plane's
+  dot is ``aggregate(zip_with(vec, <const array>))`` — plan size and eval
+  cost are linear in dim × planes and the whole bucketing is map-only
+  (ZERO shuffle, vs. a posexplode+groupBy shape that would shuffle the
+  corpus twice).
+- Dots are computed over ``floor(x * 1e6)`` integer quantizations: every
+  intermediate is an exact small integer, so the bucket bit (sign of the
+  dot) is independent of floating-point summation ORDER — any engine
+  (Spark fold, DuckDB list_dot_product) derives the identical bucket, which
+  is what makes the LSH path oracle-verifiable end-to-end.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -74,31 +91,37 @@ def cosine_topk(
     )
 
 
-def _hyperplane_sign(vec_col, plane_id: int, dim: int):
-    """Deterministic pseudo-random hyperplane: component j of plane p derives
-    from xxhash64(p, j) mapped to {-1, +1}; sign of <v, plane>."""
-    dot = F.aggregate(
-        F.zip_with(
-            vec_col,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda j: F.when(
-                    F.pmod(F.xxhash64(F.lit(plane_id), j), 2) == 0, F.lit(1.0)
-                ).otherwise(F.lit(-1.0)),
-            ),
-            lambda x, p: x * p,
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return (dot >= 0).cast("int")
+QUANT = 1_000_000  # fixed-point scale for order-independent sign decisions
+
+
+def plane_signs(num_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane sign matrix: component j of plane p is +1
+    iff md5(f"{p}:{j}") has an even first byte. Pure Python md5 → identical
+    planes in any engine or test harness."""
+    return [
+        [
+            1 if hashlib.md5(f"{p}:{j}".encode()).digest()[0] % 2 == 0 else -1
+            for j in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
 
 
 def lsh_bucket(vec_col, dim: int, num_planes: int = 12):
-    """Random-hyperplane signature → integer bucket (2^num_planes buckets)."""
+    """Random-hyperplane signature → integer bucket (2^num_planes buckets).
+    Bit p (2^p) is set iff the quantized dot with plane p is >= 0.
+    Map-only: literal plane arrays, no shuffle, plan linear in dim×planes."""
+    signs = plane_signs(num_planes, dim)
+    qv = F.transform(vec_col, lambda x: F.floor(x * QUANT))
     bucket = F.lit(0)
     for p in range(num_planes):
-        bucket = bucket * 2 + _hyperplane_sign(vec_col, p, dim)
+        plane = F.array(*[F.lit(s) for s in signs[p]])
+        dot = F.aggregate(
+            F.zip_with(qv, plane, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + (dot >= 0).cast("int") * F.lit(1 << p)
     return bucket
 
 

@@ -7,24 +7,39 @@ language-ID, quality scoring, token counting, document fingerprinting.
 Scale design notes (these run over O(10^9) docs):
 - exact dedup: one hash-groupBy shuffle on a 16-byte digest, partial agg
   map-side; never shuffles document text except the kept winner's id.
-- MinHash+LSH: shingle → K permuted min-hashes → B bands; candidate pairs
-  come from a self-join on (band_id, band_hash) buckets — the join key is
+- shingles are 64-bit HASHES, never strings: a word-hash array is built once
+  per doc, then each k-shingle is xxhash64 over k array gets — O(len·k) work
+  per doc (the previous concat_ws(slice(words)) shape was O(len²) string
+  bytes and dominated the benchmark).
+- MinHash+LSH: shingle-hash → K permuted min-hashes in ONE explode+groupBy
+  (map-side combinable); candidate pairs come from a self-join on shared
+  minhash values requiring >= min_band_matches agreements — the join key is
   tiny and uniformly distributed, so the shuffle is balanced; only candidate
-  pairs (a vanishing fraction of the cross product) are verified.
-- SimHash: 64-bit signature via a vectorized Arrow pandas_udf (numpy bit
-  votes per batch); near-dup = same signature band prefix, verified by
-  Hamming distance — popcount is a JVM-side bit expression.
-- all hashes derive from md5/xxhash64 of content — deterministic, seedable,
-  no Python in the hot path except the explicitly vectorized simhash kernel.
+  pairs (a vanishing fraction of the cross product) are exact-verified.
+- SimHash: 64-bit signature computed entirely in Catalyst — explode tokens,
+  md5 → 16 hex-digit values, 64 conditional bit-vote sums in one groupBy
+  (map-side combinable; no Python anywhere). Near-dup candidates use the
+  Manku-et-al pigeonhole blocks: hamming<=3 over 64 bits ⇒ at least one of
+  4 16-bit blocks is identical, so the blocked self-join has GUARANTEED
+  recall and the verify (bit_count of xor) is a JVM bit expression.
+- n-gram Jaccard: AllPairs/PPJoin-style prefix filtering — a pair with
+  J >= t must share a shingle within each side's (1-t)-prefix under a global
+  hash order, so candidates have guaranteed recall without LSH randomness.
+- every signature derives from md5/xxhash64 of content — deterministic,
+  engine-agnostic where the oracle needs it (simhash uses md5 hex digits so
+  DuckDB reproduces signatures bit-for-bit).
+
+Reference parity: the reference has no text operators (it is a battery-test
+ETL, battetl/transform/Transformer.py); this module is the training-data
+extension required by the build brief.
 """
 
 from __future__ import annotations
 
-import pandas as pd
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
 
 # ----------------------------------------------------------------- cleaning
 
@@ -153,13 +168,31 @@ def _char_shingles(col, k: int):
     return F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(c, i, k))
 
 
-def _word_shingles(col, k: int):
+def word_shingle_hashes(col, k: int):
+    """Distinct k-word shingles of normalized text, as 64-bit hashes.
+
+    Built without any string concatenation in the per-shingle path: a word
+    hash array is materialized once, then each shingle hash is xxhash64 over
+    k cheap array gets — O(len·k) per doc. Two shingles hash-collide iff
+    their word tuples match (modulo 64-bit collisions), so set operations on
+    the hash arrays are isomorphic to set operations on shingle strings —
+    which is what makes exact-Jaccard verification oracle-expressible.
+    """
     words = F.split(normalized_text(col), " ")
-    n = F.greatest(F.size(words) - (k - 1), F.lit(1))
+    wh = F.transform(words, lambda w: F.xxhash64(w))
+    n = F.greatest(F.size(wh) - (k - 1), F.lit(1))
+    # k shifted slices zipped per ROW — never index into wh inside a lambda:
+    # a lambda-body reference to an outer array expression is re-evaluated
+    # per element (the whole split+regexp+hash chain, O(len²) per doc —
+    # measured 5×+ of the round-1 bench). Slices evaluate wh k times per row,
+    # O(len·k) total. arrays_zip pads short slices with NULL and xxhash64
+    # skips NULL args, so short docs yield one partial shingle (mirroring
+    # concat_ws's null-skip in the SQL oracle).
+    shifted = [F.slice(wh, j + 1, n) for j in range(k)]
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), n - 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+            F.arrays_zip(*shifted),
+            lambda s: F.xxhash64(*[s[str(j)] for j in range(k)]),
         )
     )
 
@@ -173,14 +206,15 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """K min-hash values per doc over word shingles; h_i = xxhash64(s, i).
+    """K min-hash values per doc over word-shingle hashes; h_i is the min of
+    xxhash64(shingle_hash, i).
 
-    Shape matters: explode shingles ONCE, then one groupBy with K min
+    Shape matters: explode shingle hashes ONCE, then one groupBy with K min
     aggregates (map-side combinable). K array-expressions over an inline
     shingle expr would re-expand the shingle construction K times —
     catastrophic expression blowup (measured 100×)."""
     sh = docs.select(
-        F.col(id_col), F.explode(_word_shingles(text_col, shingle_k)).alias("__s")
+        F.col(id_col), F.explode(word_shingle_hashes(text_col, shingle_k)).alias("__s")
     )
     aggs = [
         F.min(F.xxhash64("__s", F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)
@@ -192,23 +226,25 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 32,
-    bands: int = 8,
-    shingle_k: int = 3,
-    jaccard_threshold: float = 0.6,
+def _banded_candidates(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    rows_per_band: int,
+    min_band_matches: int,
 ) -> DataFrame:
-    """Near-dup candidate pairs via banded LSH, verified by estimated jaccard
-    (= fraction of matching minhashes). Self-join is on (band, band_hash) —
-    a balanced composite key, never on raw text."""
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    """Candidate (id_a, id_b) pairs sharing >= min_band_matches LSH bands
+    (band hash = xxhash64 over rows_per_band consecutive minhashes).
+
+    rows_per_band is the collision-control knob: a band matches a random
+    pair with prob J^r, so r=2 squares away the moderate-J background that
+    a raw single-hash join drowns in (measured 5× blowup on the bench corpus
+    where common shingles give random pairs J≈0.05). One explode + one
+    self-join on (band, band_hash) + one count — balanced keys, no cross
+    product."""
+    bands = num_hashes // rows_per_band
     banded = sigs.select(
         F.col(id_col),
-        F.col("minhash"),
         F.explode(
             F.array(
                 *[
@@ -216,42 +252,95 @@ def minhash_lsh_pairs(
                         F.lit(b).alias("band"),
                         F.xxhash64(
                             *[
-                                F.element_at("minhash", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
+                                F.get("minhash", b * rows_per_band + i)
+                                for i in range(rows_per_band)
                             ]
-                        ).alias("band_hash"),
+                        ).alias("bh"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "minhash", "bb.band", "bb.band_hash")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.minhash").alias("mh_a"),
-            F.col("b.minhash").alias("mh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    ).select(id_col, "bb.band", "bb.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
     )
-    est = F.size(
-        F.filter(
-            F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda eq: eq
-        )
-    ) / F.lit(float(num_hashes))
     return (
-        cand.withColumn("est_jaccard", F.round(est, 6))
-        .filter(F.col("est_jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        matches.groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__n_shared"))
+        .filter(F.col("__n_shared") >= min_band_matches)
+        .select("id_a", "id_b")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.6,
+    rows_per_band: int = 2,
+    min_band_matches: int = 1,
+    verify: str = "exact",
+) -> DataFrame:
+    """Near-dup pairs via banded minhash-LSH candidate generation.
+
+    verify='exact' (default): candidates are re-checked with the TRUE Jaccard
+    over shingle-hash sets (array_intersect/array_union — pure JVM), so the
+    emitted pairs equal the exhaustive all-pairs answer whenever the LSH
+    blocking recalls them (miss prob (1-j^r)^(K/r) per pair; at j=0.8,
+    r=2, K=32 that is 8e-8). Output column: ``jaccard``.
+
+    verify='estimate': classic signature-only estimate (fraction of matching
+    minhashes) — cheaper at very large scale, but approximate. Output
+    column: ``est_jaccard``.
+    """
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    cand = _banded_candidates(
+        sigs, id_col, num_hashes, rows_per_band, min_band_matches
+    )
+    if verify == "estimate":
+        sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"))
+        sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"))
+        est = F.size(
+            F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda eq: eq)
+        ) / F.lit(float(num_hashes))
+        return (
+            cand.join(sig_a, "id_a")
+            .join(sig_b, "id_b")
+            .withColumn("est_jaccard", F.round(est, 6))
+            .filter(F.col("est_jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", "est_jaccard")
+        )
+    with_sh = docs.select(
+        F.col(id_col), word_shingle_hashes(text_col, shingle_k).alias("sh")
+    )
+    return _exact_jaccard_over(cand, with_sh, id_col, jaccard_threshold)
+
+
+def _exact_jaccard_over(
+    cand: DataFrame, with_sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard verify of candidate pairs against shingle-hash sets."""
+    joined = cand.join(
+        with_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(
+        with_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    # filter on the RAW ratio (the oracle's WHERE is unrounded); emit rounded
+    return (
+        joined.withColumn("__j", inter / union)
+        .filter(F.col("__j") >= threshold)
+        .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
     )
 
 
@@ -261,102 +350,145 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.5,
-    block_hashes: int = 4,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs blocked by shared min-hash
-    prefix (cheap blocking keeps the self-join off the cross product)."""
+    """Exact n-gram Jaccard pairs with GUARANTEED recall via prefix filtering
+    (AllPairs/PPJoin): order each doc's shingle hashes ascending; a pair with
+    J >= t must share an element within each side's first
+    |S| - ceil(t·|S|) + 1 elements (else overlap < t·|S| <= t·|union|).
+    Candidates therefore come from a self-join on prefix elements only — no
+    LSH randomness, no cross product — and are exact-verified."""
     with_sh = docs.select(
-        F.col(id_col), _word_shingles(text_col, shingle_k).alias("sh")
+        F.col(id_col),
+        F.array_sort(word_shingle_hashes(text_col, shingle_k)).alias("sh"),
     )
-    blocked = minhash_signatures(
-        docs, id_col, text_col, num_hashes=block_hashes, shingle_k=shingle_k
-    ).select(id_col, F.explode("minhash").alias("block"))
-    a, b = blocked.alias("a"), blocked.alias("b")
+    prefix_len = (
+        F.size("sh") - F.ceil(F.lit(float(threshold)) * F.size("sh")).cast("int") + 1
+    )
+    prefix = with_sh.select(
+        F.col(id_col), F.explode(F.slice("sh", 1, prefix_len)).alias("tok")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.block") == F.col("b.block"))
+            (F.col("a.tok") == F.col("b.tok"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .dropDuplicates(["id_a", "id_b"])
-        .join(with_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(with_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _exact_jaccard_over(cand, with_sh, id_col, threshold)
 
 
 # ------------------------------------------------------------------ simhash
 
-@pandas_udf(T.LongType())
-def _simhash64(texts: pd.Series) -> pd.Series:
-    """Vectorized 64-bit SimHash kernel (Arrow-batched numpy; the one
-    deliberately-pandas op, per the vectorized-UDF-only rule)."""
-    import numpy as np
-
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        tokens = t.lower().split()
-        if not tokens:
-            continue
-        hashes = np.array(
-            [hash_token(tok) for tok in tokens], dtype=np.uint64
-        )
-        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-            np.int32
-        )
-        votes = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for b in range(64):
-            if votes[b] > 0:
-                sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig)
-    return pd.Series(out)
+_HEX = "0123456789abcdef"
 
 
-def hash_token(tok: str) -> int:
-    """Deterministic 64-bit FNV-1a (stable across processes, unlike
-    Python's salted hash())."""
-    h = 0xCBF29CE484222325
-    for ch in tok.encode("utf-8"):
-        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+def _token_bit(digit_col, bit_in_digit: int):
+    """Bit of a token's 64-bit hash, decoded from an md5 hex digit value."""
+    return F.shiftright(digit_col, bit_in_digit).bitwiseAND(F.lit(1))
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per doc, entirely in Catalyst (no Python):
+    explode whitespace tokens of lower(text) → md5 → 16 hex-digit values →
+    64 bit-vote sums in ONE map-side-combinable groupBy → signature bits
+    (vote > 0). Returned as two 32-bit halves (sig_hi = bits 63..32,
+    sig_lo = bits 31..0) so xor/popcount stay sign-free in any engine.
+
+    The md5-hex-digit bit derivation (instead of xxhash64) makes signatures
+    reproducible bit-for-bit in the DuckDB oracle."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("__t"),
+    )
+    h = F.md5("__t")
+    digits = toks.select(
+        F.col(id_col),
+        *[
+            F.conv(F.substring(h, d + 1, 1), 16, 10).cast("int").alias(f"__d{d}")
+            for d in range(16)
+        ],
+    )
+    votes = [
+        F.sum(
+            F.when(_token_bit(F.col(f"__d{b // 4}"), b % 4) == 1, 1).otherwise(-1)
+        ).alias(f"__v{b}")
+        for b in range(64)
+    ]
+    sig = digits.groupBy(id_col).agg(*votes)
+
+    def half(bits):
+        terms = [
+            F.when(F.col(f"__v{b}") > 0, F.lit(1 << (b - bits[0]))).otherwise(F.lit(0))
+            for b in bits
+        ]
+        return reduce(lambda x, y: x + y, terms).cast("long")
+
+    return sig.select(
+        F.col(id_col),
+        half(range(32, 64)).alias("sig_hi"),
+        half(range(0, 32)).alias("sig_lo"),
+    )
 
 
 def simhash(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
-    return docs.select(F.col(id_col), _simhash64(F.col(text_col)).alias("simhash"))
+    """Single-column 64-bit signature (hi<<32 | lo), for callers that want
+    one value; may be negative when bit 63 is set."""
+    sig = simhash_signatures(docs, id_col, text_col)
+    return sig.select(
+        F.col(id_col),
+        (F.shiftleft("sig_hi", 32).bitwiseOR(F.col("sig_lo"))).alias("simhash"),
+    )
 
 
 def simhash_near_dups(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
-    prefix_bits: int = 16,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dups = same high-bit prefix block (LSH-ish blocking), verified by
-    popcount of xor (JVM bit expression)."""
-    sig = simhash(docs, id_col, text_col)
-    blocked = sig.withColumn(
-        "block", F.shiftrightunsigned("simhash", 64 - prefix_bits)
-    )
+    """Near-dups by SimHash hamming distance with GUARANTEED recall for
+    max_hamming <= 3: split the 64-bit signature into 4 16-bit blocks —
+    any pair within hamming 3 leaves at least one block untouched
+    (pigeonhole; the classic web-dedup blocking of Manku et al., public),
+    so blocked candidates cover all true pairs and bit_count(xor) verifies
+    exactly. The self-join key (block_id, block_value) is small and
+    uniform — balanced shuffle, no cross product."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-block pigeonhole guarantees recall only for max_hamming <= 3; "
+            "use more blocks (multi-index) for larger radii"
+        )
+    sig = simhash_signatures(docs, id_col, text_col)
+    mask = F.lit(0xFFFF)
+    blocked = sig.select(
+        F.col(id_col),
+        "sig_hi",
+        "sig_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("blk"), F.shiftright("sig_hi", 16).alias("v")),
+                F.struct(F.lit(1).alias("blk"), F.col("sig_hi").bitwiseAND(mask).alias("v")),
+                F.struct(F.lit(2).alias("blk"), F.shiftright("sig_lo", 16).alias("v")),
+                F.struct(F.lit(3).alias("blk"), F.col("sig_lo").bitwiseAND(mask).alias("v")),
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig_hi", "sig_lo", "bb.blk", "bb.v")
     a, b = blocked.alias("a"), blocked.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = F.bit_count(
+        F.col("a.sig_hi").bitwiseXOR(F.col("b.sig_hi"))
+    ) + F.bit_count(F.col("a.sig_lo").bitwiseXOR(F.col("b.sig_lo")))
     return (
         a.join(
             b,
-            (F.col("a.block") == F.col("b.block"))
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.v") == F.col("b.v"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
@@ -365,4 +497,5 @@ def simhash_near_dups(
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -66,10 +66,33 @@ def test_whole_stage_codegen_covers_transform(spark):
 
 
 def test_no_python_udf_in_query_surface(spark):
-    """Every oracle-checked query must be pure JVM (the vectorized-only rule;
-    simhash/multimodal are the explicit Arrow exceptions and are rows-only)."""
+    """Every oracle-checked query must be pure JVM — no exemptions since
+    round 2 (simhash is now a Catalyst bit-vote aggregation; multimodal is
+    the only Arrow surface and is not in the query dict)."""
     for name, fn in E.queries().items():
-        if name in ("doc_simhash",):
-            continue
         p = plan(fn(spark, SF), "simple")
         assert "BatchEvalPython" not in p, f"{name} uses a row-wise Python UDF"
+        assert "ArrowEvalPython" not in p, f"{name} uses a Python UDF"
+
+
+def test_lsh_bucket_plan_linear_in_dim(spark):
+    """Round-1 regression: the hyperplane construction must not be
+    re-expanded per plane (measured 100× Catalyst blowup class). With
+    literal sign arrays, building + optimizing the dim=512 / 16-plane
+    bucketing plan is cheap and the optimized plan stays linear."""
+    import time
+
+    from battetl_spark.analytics.similarity import lsh_bucket
+
+    df = spark.range(8).select(
+        F.col("id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(511)), lambda j: (j * 0.001).cast("double")
+        ).alias("v"),
+    )
+    t0 = time.monotonic()
+    out = df.select("id", lsh_bucket(F.col("v"), dim=512, num_planes=16).alias("b"))
+    rows = out.collect()
+    elapsed = time.monotonic() - t0
+    assert len(rows) == 8 and all(0 <= r.b < 2**16 for r in rows)
+    assert elapsed < 30.0, f"lsh_bucket plan/exec blowup: {elapsed:.1f}s"
