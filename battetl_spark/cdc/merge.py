@@ -237,7 +237,15 @@ def merge_apply(
             fence=fence,
             lineage=lineage_rows,
             target_partitions=target_partitions,
+            base_snapshot=snap,  # conflict-detect: abort if a concurrent
+            # writer changed any of these buckets since we scanned them
         )
+        if new_snap is None:
+            # fence appeared between the top-of-function check and the commit
+            # (a replayed epoch raced us): the batch was discarded — report
+            # honestly; the just-written orphan files are reclaimed by
+            # vacuum_files.
+            return MergeResult(applied=False)
         return MergeResult(
             applied=True,
             snapshot_id=new_snap["snapshot_id"],

@@ -104,4 +104,7 @@ def refresh_stats(
         .withColumn(BUCKET_COL, s_bexpr)
     )
     fence = None if epoch_id is None else {"epoch_id": int(epoch_id), "max_lsn": 0}
-    return stats.replace_buckets(replacement, s_buckets, fence=fence)
+    out = stats.replace_buckets(
+        replacement, s_buckets, fence=fence, base_snapshot=s_snap
+    )
+    return out if out is not None else stats.snapshot()  # fenced replay no-op

@@ -43,6 +43,11 @@ def _widen(cur: T.DataType, new: T.DataType) -> T.DataType:
     if c in _INT_WIDTH and n in _FLOAT_WIDTH:
         # int column receiving float data is a real change → widen to double
         return T.DoubleType()
+    if c in _FLOAT_WIDTH and n in _INT_WIDTH:
+        # float/double column receiving int data is lossless — keep the
+        # current type (project() casts events up); a source that starts
+        # emitting 5 instead of 5.0 must not halt the merge
+        return cur
     raise SchemaCompatibilityError(
         f"incompatible type change: {cur.simpleString()} -> {new.simpleString()}"
     )

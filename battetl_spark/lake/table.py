@@ -287,19 +287,45 @@ class LakeTable:
         lineage: list[dict] | None = None,
         target_partitions: int | None = None,
         files_per_bucket: int = 4,
-    ) -> dict:
+        base_snapshot: dict | None = None,
+    ) -> dict | None:
         """Copy-on-write commit: the given buckets' contents become exactly
         ``df`` (which must carry BUCKET_COL); all other buckets carry over.
         ``fence`` = {"epoch_id": int, "max_lsn": int, ...} recorded atomically
-        with the data swap."""
+        with the data swap.
+
+        ``base_snapshot`` is the snapshot ``df`` was COMPUTED from. Passing it
+        turns the optimistic retry into true conflict detection: if any
+        replaced bucket's file list changed between base and commit time
+        (a concurrent writer landed first), the commit raises CommitConflict
+        instead of silently overwriting the winner's rows with data derived
+        from a stale scan. Disjoint-bucket concurrent commits still compose.
+        Files written under the base schema are tagged with the BASE
+        schema_id (a concurrent evolve_schema must not re-tag them — old
+        files are harmonized on read, never relabeled).
+
+        Returns None (no commit) when ``fence``'s epoch is already applied —
+        exactly-once replay no-op; callers must treat it as not-applied.
+        """
         new_files = self._write_data(df, target_partitions, files_per_bucket)
 
         replaced = {int(b) for b in buckets}
+        sid = (base_snapshot or self.snapshot())["current_schema_id"]
+        state = {"fenced": False}
 
         def mutate(snap):
+            state["fenced"] = False
             if fence is not None and str(fence["epoch_id"]) in snap["fences"]:
+                state["fenced"] = True
                 return None  # already committed — exactly-once replay no-op
-            sid = snap["current_schema_id"]
+            if base_snapshot is not None and snap["version"] != base_snapshot["version"]:
+                for b in replaced:
+                    if snap["files"].get(str(b)) != base_snapshot["files"].get(str(b)):
+                        raise CommitConflict(
+                            f"bucket {b} changed since snapshot version "
+                            f"{base_snapshot['version']} (now {snap['version']}); "
+                            "re-run the merge against the current snapshot"
+                        )
             for b in replaced:
                 snap["files"][str(b)] = [
                     {"path": p, "schema_id": sid} for p in new_files.get(str(b), [])
@@ -316,7 +342,10 @@ class LakeTable:
             snap["lineage"] = lineage or []
             return snap
 
-        return self.commit(mutate)
+        out = self.commit(mutate)
+        if state["fenced"]:
+            return None  # orphan data files reclaimed by vacuum_files
+        return out
 
     def append(self, df: DataFrame, lineage: list[dict] | None = None) -> dict:
         """Append-only commit (seeding / fact-append use; reference analog:
@@ -390,9 +419,12 @@ class LakeTable:
         rows = self.scan(crowded, snap, include_deleted=True).withColumn(
             BUCKET_COL, bucket_expr(snap["bucket_key"], snap["num_buckets"])
         )
-        # unsalted, one partition per bucket → one output file per bucket
+        # unsalted, one partition per bucket → one output file per bucket;
+        # base_snapshot makes a racing merge abort THIS rewrite (CommitConflict)
+        # instead of resurrecting pre-merge rows
         return self.replace_buckets(
-            rows, crowded, target_partitions=len(crowded), files_per_bucket=1
+            rows, crowded, target_partitions=len(crowded), files_per_bucket=1,
+            base_snapshot=snap,
         )
 
     def vacuum_tombstones(self, below_lsn: int) -> dict | None:
@@ -412,7 +444,7 @@ class LakeTable:
                 & (F.col("_last_lsn") < F.lit(below_lsn))
             )
         ).withColumn(BUCKET_COL, bucket_expr(snap["bucket_key"], snap["num_buckets"]))
-        return self.replace_buckets(kept, all_buckets)
+        return self.replace_buckets(kept, all_buckets, base_snapshot=snap)
 
     def vacuum_files(self, keep_snapshots: int = 2) -> list[str]:
         """Delete data files referenced by NO retained snapshot and drop

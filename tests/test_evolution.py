@@ -115,6 +115,20 @@ def test_compat_checker_unit():
     )
     got = {f.name: f.dataType for f in out.fields}
     assert got == {"a": T.LongType(), "b": T.DoubleType(), "c": T.StringType()}
+    # int-family data into an existing float/double column is lossless —
+    # keep the current type, never halt the merge (round-2 ADVICE fix)
+    out2 = check_schema_compatibility(
+        cur,
+        T.StructType(
+            [
+                T.StructField("a", T.IntegerType(), False),
+                T.StructField("b", T.LongType(), True),
+            ]
+        ),
+    )
+    assert {f.name: f.dataType for f in out2.fields} == {
+        "a": T.IntegerType(), "b": T.FloatType(),
+    }
     with pytest.raises(SchemaCompatibilityError):
         check_schema_compatibility(
             cur, T.StructType([T.StructField("a", T.StringType(), True)])

@@ -29,7 +29,11 @@ def main():
     ap.add_argument("--table", required=True)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--num-buckets", type=int, default=64)
-    ap.add_argument("--dedup", choices=["agg", "salted", "window"], default="agg")
+    ap.add_argument(
+        "--dedup",
+        choices=["fused", "agg", "salted", "window"],
+        default="fused",  # matches CdcStream/merge_apply's benchmarked default
+    )
     ap.add_argument("--salt-buckets", type=int, default=32)
     ap.add_argument("--max-files-per-trigger", type=int, default=4)
     ap.add_argument("--create", action="store_true", help="create table if absent")
