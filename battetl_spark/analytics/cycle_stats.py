@@ -188,4 +188,7 @@ def calc_cycle_stats(
             / F.col("calculated_charge_capacity_mah"),
         ),
     )
-    return out.orderBy("cycle")  # O2: stable cycle ordering
+    # O2 stable cycle ordering is applied by presentation-layer callers
+    # (etl facade / tests); the operator itself stays sort-free so the
+    # incremental-maintenance path never pays a global shuffle-sort
+    return out

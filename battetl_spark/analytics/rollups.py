@@ -31,5 +31,6 @@ def conversation_stats(transcripts: DataFrame) -> DataFrame:
             F.count("tool").alias("n_tool_calls"),
             F.sum(F.length("text")).alias("total_chars"),
         )
-        .orderBy("conv_id")
+        # no forced global sort: this feeds incremental maintenance at 1e9
+        # keys — ordering is the caller's choice (VERDICT r1 #9)
     )

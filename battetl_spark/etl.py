@@ -79,7 +79,7 @@ class BattEtl:
                 dsg_steps=self.steps["dsg"],
                 cv_voltage_threshold_mv=self.config.get("cv_voltage_threshold_mv"),
                 thermocouple=self.config.get("thermocouple"),
-            )
+            ).orderBy("cycle")  # O2 presentation ordering lives at the facade
         return self
 
     def load(self, table: LakeTable | None = None) -> "BattEtl":

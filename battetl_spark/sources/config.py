@@ -46,23 +46,69 @@ def read_pickle(spark, path: str):
     return spark.createDataFrame(pd.read_pickle(path))
 
 
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _xlsx_cell_col(ref: str) -> int:
+    """'BC12' → 0-based column index 54."""
+    n = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        n = n * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return n - 1
+
+
+def read_xlsx_grid(path: str, sheet: int = 1) -> list[list[str]]:
+    """Minimal stdlib XLSX reader (zip of SpreadsheetML): shared strings,
+    inline strings, and raw values of one worksheet as a ragged string grid.
+    No codec dependency — xlsx files are small config/lab exports here
+    (S4 analog, reference Extractor.py:168-186 pd.read_excel path)."""
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.iter(f"{_XLSX_NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
+        root = ET.fromstring(z.read(f"xl/worksheets/sheet{sheet}.xml"))
+        rows: list[list[str]] = []
+        for row in root.iter(f"{_XLSX_NS}row"):
+            cells: dict[int, str] = {}
+            for c in row.iter(f"{_XLSX_NS}c"):
+                idx = _xlsx_cell_col(c.attrib.get("r", "A"))
+                t = c.attrib.get("t", "n")
+                if t == "inlineStr":
+                    v = "".join(x.text or "" for x in c.iter(f"{_XLSX_NS}t"))
+                else:
+                    vel = c.find(f"{_XLSX_NS}v")
+                    v = vel.text if vel is not None and vel.text else ""
+                    if t == "s" and v:
+                        v = shared[int(v)]
+                cells[idx] = v
+            width = max(cells) + 1 if cells else 0
+            rows.append([cells.get(i, "") for i in range(width)])
+        return rows
+
+
 def read_unstructured(spark, path: str, reader_kwargs: dict | None = None):
     """User-configured CSV/XLSX read (S4 analog, Extractor.py:127-187).
-    CSV goes through the distributed reader; XLSX (no distributed codec in
-    this container) reads via pandas on the driver — gated, small files
-    only, mirroring the reference's semantics."""
+    CSV goes through the distributed reader; XLSX parses via the stdlib
+    SpreadsheetML reader on the driver (gated, small files only — the
+    reference's pd.read_excel is likewise an eager single-node read)."""
     kw = reader_kwargs or {}
-    if path.lower().endswith((".xlsx", ".xls")):
-        import pandas as pd
-
-        try:
-            pdf = pd.read_excel(path, **kw)
-        except ImportError as e:  # openpyxl absent in sandbox
-            raise NotImplementedError(
-                "xlsx reading requires openpyxl (not in this container); "
-                "convert to CSV or install the codec"
-            ) from e
-        return spark.createDataFrame(pdf.astype(str))
+    if path.lower().endswith((".xlsx", ".xlsm")):
+        header = int(kw.get("header", 0))
+        skiprows = int(kw.get("skiprows", 0))
+        grid = read_xlsx_grid(path, sheet=int(kw.get("sheet", 1)))[skiprows:]
+        cols = [c or f"col_{i}" for i, c in enumerate(grid[header])]
+        width = len(cols)
+        data = [
+            tuple((r + [""] * width)[:width]) for r in grid[header + 1:]
+        ]
+        return spark.createDataFrame(data, cols)
     reader = spark.read.option("header", str(kw.get("header", True)).lower())
     if "sep" in kw:
         reader = reader.option("sep", kw["sep"])

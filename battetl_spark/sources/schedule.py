@@ -50,6 +50,80 @@ def schedule_from_ini(path: str) -> dict:
     return {s: dict(cp.items(s)) for s in cp.sections()}
 
 
+def raw_string_from_file(path: str) -> dict[str, str]:
+    """Raw-string scan for waveform/simulation files (.mwf and friends) —
+    {file name: contents} (S8 analog, reference Extractor.py:297-315, 571-585:
+    fastwave/simulation files carry arbitrary text kept verbatim)."""
+    import os
+
+    with open(path, encoding="latin-1") as f:
+        return {os.path.basename(path): f.read()}
+
+
+def ini_dict_from_file(path: str, encoding: str = "utf-8") -> dict[str, dict]:
+    """INI aux scan → {file name: {section: {key: value}}} (S10 analog,
+    reference Extractor.py:482-545: .to object / .fm formula / .fra files)."""
+    import configparser
+    import os
+
+    cp = configparser.ConfigParser(strict=False, interpolation=None)
+    with open(path, encoding=encoding) as f:
+        cp.read_string(f.read())
+    return {os.path.basename(path): {s: dict(cp.items(s)) for s in cp.sections()}}
+
+
+def can_xml_from_file(path: str) -> dict[str, dict]:
+    """CAN BMS XML scan → {file name: nested dict} (S10 analog, reference
+    Extractor.py:503-522 — xmltodict replaced by the stdlib walker above)."""
+    import os
+
+    root = ET.parse(path).getroot()
+
+    def to_dict(el):
+        children = list(el)
+        if not children:
+            return el.text.strip() if el.text else ""
+        out: dict = {}
+        for c in children:
+            v = to_dict(c)
+            if c.tag in out:
+                if not isinstance(out[c.tag], list):
+                    out[c.tag] = [out[c.tag]]
+                out[c.tag].append(v)
+            else:
+                out[c.tag] = v
+        return out
+
+    return {os.path.basename(path): {root.tag: to_dict(root)}}
+
+
+# extension → reader for schedule-adjacent aux files (per-extension dispatch
+# of reference Extractor.py:253-350 Maccor and 450-585 Arbin aux handling;
+# .bth uses latin-1, mirroring the reference's ISO-8859-1 note)
+AUX_READERS = {
+    ".mwf": raw_string_from_file,
+    ".fra": ini_dict_from_file,
+    ".to": ini_dict_from_file,
+    ".fm": ini_dict_from_file,
+    ".bth": lambda p: ini_dict_from_file(p, encoding="latin-1"),
+    ".can": can_xml_from_file,
+}
+
+
+def aux_from_files(paths: list[str]) -> dict[str, object]:
+    """Scan every recognized aux file (by extension) into one merged dict;
+    unrecognized extensions are ignored (they may be the main schedule)."""
+    import os
+
+    out: dict[str, object] = {}
+    for p in paths:
+        ext = os.path.splitext(p)[1].lower()
+        reader = AUX_READERS.get(ext)
+        if reader is not None:
+            out.update(reader(p))
+    return out
+
+
 _CHG_WORDS = ("charge", "chg", "cc-cv", "cccv")
 _DSG_WORDS = ("discharge", "dsg", "dischrge")
 _RST_WORDS = ("rest", "pause", "idle")
@@ -104,3 +178,14 @@ def schedule_from_files(paths: list[str]) -> tuple[dict, dict[str, list[int]]]:
                 continue
             steps_raw[num] = kv.get("m_szsteptype", kv.get("steptype", ""))
     return sched, classify_steps(steps_raw)
+
+
+def schedule_bundle_from_files(
+    paths: list[str],
+) -> tuple[dict, dict[str, list[int]], dict]:
+    """Main schedule + step classes + every recognized aux file (waveform /
+    object / formula / mapping / CAN), the full contract of the reference's
+    procedure/schedule-from-files entry points (Extractor.py:201-350,
+    408-585)."""
+    sched, steps = schedule_from_files(paths)
+    return sched, steps, aux_from_files(paths)

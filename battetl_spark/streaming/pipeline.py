@@ -56,6 +56,7 @@ class CdcStream:
         collect_lineage: bool = True,
         on_batch=None,
         fail_injector=None,
+        auto_compact_files: int | None = 16,
     ):
         self.table = table
         self.checkpoint_dir = checkpoint_dir
@@ -64,6 +65,12 @@ class CdcStream:
         self.collect_lineage = collect_lineage
         self.on_batch = on_batch
         self.fail_injector = fail_injector  # (epoch_id, phase) -> None | raise
+        # long-running streams accrete files per touched bucket per commit;
+        # compact any bucket whose file count crosses this threshold, right
+        # after the merge commit (bounds read amplification — VERDICT r1 #8).
+        # None disables. Compaction is itself a snapshot-atomic copy-on-write
+        # commit with conflict detection, so a crash mid-compact is harmless.
+        self.auto_compact_files = auto_compact_files
 
     def _apply(self, batch_df: DataFrame, epoch_id: int) -> None:
         if self.fail_injector is not None:
@@ -78,6 +85,8 @@ class CdcStream:
         )
         if self.fail_injector is not None:
             self.fail_injector(epoch_id, "after_merge")
+        if self.auto_compact_files is not None and result.applied:
+            self.table.compact(min_files_per_bucket=self.auto_compact_files)
         if self.on_batch is not None:
             self.on_batch(epoch_id, result)
 

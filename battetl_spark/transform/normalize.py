@@ -37,58 +37,149 @@ from battetl_spark.functions.core import (
 DEFAULT_TIMEZONE = "America/Los_Angeles"  # reference constants.py:2
 
 # ---------------------------------------------------------------- detection
-# Column-name fingerprints, ≥50% intersection wins, priority order
-# (reference utils.py:137-195, sets constants.py:72-167). Names are
-# normalized (lowercase, stripped) before matching.
-FINGERPRINTS: dict[str, set[str]] = {
-    "vendor_m": {  # Maccor-like (constants.py:260-274)
+# Column-name fingerprints, ≥50% intersection wins, FIRST match in priority
+# order wins (semantics of reference utils.py:137-195; the seven sets mirror
+# constants.py:72-167: Arbin test-data / cycle-stats, Maccor test-data
+# classic / type2 / customer1, Maccor cycle-stats classic / customer1).
+# Names are normalized (lowercase, stripped) before matching. Fingerprints
+# list only layout-DISTINCTIVE columns (the *_ONLY sets), not full headers.
+FINGERPRINTS: list[tuple[str, frozenset[str]]] = [
+    ("vendor_a", frozenset({  # Arbin-like test data
+        "date time", "acr (ohm)", "dq/dv (ah/v)", "internal resistance (ohm)",
+        "dv/dq (v/ah)", "dv/dt (v/s)", "data point",
+    })),
+    ("vendor_a_stats", frozenset({  # Arbin-like per-cycle stats
+        "charge time (s)", "date_time", "mah/g", "coulombic efficiency (%)",
+        "v_max_on_cycle (v)", "discharge time (s)",
+    })),
+    ("vendor_m", frozenset({  # Maccor-like test data (classic)
+        "cyc#", "steptime(s)", "dpt time", "current(a)", "capacity(ah)",
+        "step", "ev temp", "voltage(v)", "testtime(s)", "temp 1",
+    })),
+    ("vendor_m_t2", frozenset({  # Maccor-like test data, export type 2
+        "rec", "cycle p", "cycle c", "capacity", "energy", "md", "es",
+        "dpt time",
+    })),
+    ("vendor_m_c1", frozenset({  # Maccor-like test data, customer-1 export
         "cyc#", "step", "testtime(s)", "steptime(s)", "capacity(ah)",
-        "watt-hr", "current(a)", "voltage(v)", "dpt time",
-    },
-    "vendor_a": {  # Arbin-like (constants.py:199-233)
-        "data point", "date time", "test time (s)", "step time (s)",
-        "cycle index", "step index", "current (a)", "voltage (v)",
-        "power (w)", "charge capacity (ah)", "discharge capacity (ah)",
-        "charge energy (wh)", "discharge energy (wh)",
-    },
+        "watt-hr", "es", "dpt time", "volt 1",
+        "manufactureraccess (0x00)", "atrate (0x02)", "temperature (0x06)",
+        "voltage (0x08)", "batterystatus (0x0a)", "current (0x0c)",
+        "remainingcapacity (0x10)", "fullchargecapacity (0x12)",
+        "averagecurrent (0x14)", "relativestateofcharge (0x2c)",
+        "chargingvoltage (0x30)", "chargingcurrent (0x32)",
+        "designcapacity (0x3c)",
+    })),
+    ("vendor_m_stats", frozenset({  # Maccor-like per-cycle stats (classic)
+        "t1_end", "t1_max", "t1_start", "t1_min", "cycle", "date",
+        "ah-out", "ah-in",
+    })),
+    ("vendor_m_stats_c1", frozenset({  # Maccor-like stats, customer-1 export
+        "cycle", "ah-in", "ah-out", "t1_start", "t1_end", "t1_min", "t1_max",
+        "date",
+    })),
+]
+
+_M_DATA_RENAME = {
+    "cyc#": "cycle",
+    "step": "step",
+    "testtime(s)": "test_time_s",
+    "steptime(s)": "step_time_s",
+    "dpt time": "recorded_datetime",
+}
+_M_DATA_SCALE = {
+    "current(a)": "current_ma",
+    "voltage(v)": "voltage_mv",
+    "capacity(ah)": "capacity_mah",
+    "watt-hr": "energy_mwh",
+}
+_M_STATS_RENAME = {
+    "cycle": "cycle",
+    "date": "recorded_datetime",
+    "test time": "test_time_s",
+    "t1_start": "charge_thermocouple_start_c",
+    "t1_end": "charge_thermocouple_end_c",
+    "t1_min": "charge_thermocouple_min_c",
+    "t1_max": "charge_thermocouple_max_c",
+    "t1_start.1": "discharge_thermocouple_start_c",
+    "t1_end.1": "discharge_thermocouple_end_c",
+    "t1_min.1": "discharge_thermocouple_min_c",
+    "t1_max.1": "discharge_thermocouple_max_c",
+}
+_M_STATS_SCALE = {
+    "ah-in": "charge_capacity_mah",
+    "ah-out": "discharge_capacity_mah",
+    "wh-in": "charge_energy_mwh",
+    "wh-out": "discharge_energy_mwh",
 }
 
-# normalized source name -> canonical name (pre-scaling). Scaled columns are
-# mapped separately in _SCALE below.
+# profile -> {normalized source name -> canonical name} (pre-scaling).
+# Scaled columns are mapped separately in _SCALE below.
 RENAME: dict[str, dict[str, str]] = {
-    "vendor_m": {
-        "cyc#": "cycle",
+    "vendor_m": _M_DATA_RENAME,
+    "vendor_m_c1": _M_DATA_RENAME,  # customer1 = classic + SMBus extras→JSON
+    "vendor_m_t2": {
+        "rec": "data_point",
+        "cycle p": "cycle",
+        "cycle c": "half_cycle",
         "step": "step",
-        "testtime(s)": "test_time_s",
-        "steptime(s)": "step_time_s",
+        "test time": "test_time_s",
+        "step time": "step_time_s",
         "dpt time": "recorded_datetime",
     },
+    "vendor_m_stats": _M_STATS_RENAME,
+    "vendor_m_stats_c1": _M_STATS_RENAME,
     "vendor_a": {
         "cycle index": "cycle",
         "step index": "step",
+        "data point": "data_point",
         "test time (s)": "test_time_s",
         "step time (s)": "step_time_s",
         "date time": "recorded_datetime",
+        "date_time": "recorded_datetime",
+    },
+    "vendor_a_stats": {
+        "cycle index": "cycle",
+        "step index": "step",
+        "date_time": "recorded_datetime",
+        "test time (s)": "test_time_s",
+        "charge time (s)": "reported_charge_time_s",
+        "discharge time (s)": "reported_discharge_time_s",
+        "coulombic efficiency (%)": "reported_coulombic_efficiency",
+        "v_max_on_cycle (v)": "v_max_on_cycle_v",
     },
 }
 
-# normalized source name -> canonical milli-unit name (×1000; reference
-# constants.py:169-197).
+# profile -> {normalized source name -> canonical milli-unit name} (×1000;
+# reference constants.py:169-197).
 _SCALE: dict[str, dict[str, str]] = {
-    "vendor_m": {
-        "current(a)": "current_ma",
-        "voltage(v)": "voltage_mv",
-        "capacity(ah)": "capacity_mah",
-        "watt-hr": "energy_mwh",
+    "vendor_m": _M_DATA_SCALE,
+    "vendor_m_c1": _M_DATA_SCALE,
+    "vendor_m_t2": {
+        "current": "current_ma",
+        "voltage": "voltage_mv",
+        "capacity": "capacity_mah",
+        "energy": "energy_mwh",
     },
+    "vendor_m_stats": _M_STATS_SCALE,
+    "vendor_m_stats_c1": _M_STATS_SCALE,
     "vendor_a": {
         "current (a)": "current_ma",
         "voltage (v)": "voltage_mv",
+        "internal resistance (ohm)": "impedance_mohm",
         "charge capacity (ah)": "charge_capacity_mah",
         "discharge capacity (ah)": "discharge_capacity_mah",
         "charge energy (wh)": "charge_energy_mwh",
         "discharge energy (wh)": "discharge_energy_mwh",
         "power (w)": "power_mw",
+    },
+    "vendor_a_stats": {
+        "current (a)": "current_ma",
+        "voltage (v)": "voltage_mv",
+        "charge capacity (ah)": "reported_charge_capacity_mah",
+        "discharge capacity (ah)": "reported_discharge_capacity_mah",
+        "charge energy (wh)": "reported_charge_energy_mwh",
+        "discharge energy (wh)": "reported_discharge_energy_mwh",
     },
 }
 
@@ -113,10 +204,21 @@ def detect_source(columns: list[str]) -> str:
     """≥50% fingerprint intersection, first match in priority order wins
     (semantics of reference utils.py:174-193); else 'unstructured'."""
     names = {_norm(c) for c in columns}
-    for make, fp in FINGERPRINTS.items():
+    for profile, fp in FINGERPRINTS:
         if len(names & fp) * 2 >= len(fp):
-            return make
+            return profile
     return "unstructured"
+
+
+def detect_make_type(columns: list[str]) -> tuple[str | None, str | None]:
+    """(make, data_type) tuple — the reference's get_cycle_make contract
+    (utils.py:137-195): (None, None) when nothing matches."""
+    profile = detect_source(columns)
+    if profile == "unstructured":
+        return None, None
+    make = "vendor_a" if profile.startswith("vendor_a") else "vendor_m"
+    dtype = "cycle_stats" if "stats" in profile else "test_data"
+    return make, dtype
 
 
 def _tc_num(norm_name: str) -> int | None:
@@ -185,7 +287,7 @@ def normalize_cycler_data(
             c = src(src_n)
             if c is None:
                 continue
-            if canon in ("cycle", "step"):
+            if canon in ("cycle", "step", "data_point", "half_cycle"):
                 exprs.append(F.col(c).try_cast("int").alias(canon))
             elif canon == "recorded_datetime":
                 parsed = parse_datetime_multi(F.col(c).cast("string"))

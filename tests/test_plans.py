@@ -96,3 +96,23 @@ def test_lsh_bucket_plan_linear_in_dim(spark):
     elapsed = time.monotonic() - t0
     assert len(rows) == 8 and all(0 <= r.b < 2**16 for r in rows)
     assert elapsed < 30.0, f"lsh_bucket plan/exec blowup: {elapsed:.1f}s"
+
+
+def test_no_global_sort_in_incremental_maintenance_path(spark):
+    """conversation_stats / calc_cycle_stats feed incremental maintenance —
+    a forced .orderBy would add a rangepartitioning shuffle at 1e9 keys.
+    Ordering is the caller's (presentation-layer) choice."""
+    from battetl_spark.analytics.cycle_stats import calc_cycle_stats
+    from battetl_spark.analytics.rollups import conversation_stats
+    from battetl_spark.fixtures import make_transcripts, transcripts_df
+
+    base = transcripts_df(spark, make_transcripts(seed=3, n_convs=20, max_turns=5))
+    p = plan(conversation_stats(base), "simple")
+    assert "rangepartitioning" not in p.lower()
+    data = spark.createDataFrame(
+        [(0, 1, 10.0, 100.0, 3700.0, 1000.0, 5.0, 1)],
+        ["cycle", "step", "test_time_s", "current_ma", "voltage_mv",
+         "capacity_mah", "energy_mwh", "unixtime_s"],
+    )
+    p = plan(calc_cycle_stats(data, chg_steps=[1], dsg_steps=[2]), "simple")
+    assert "rangepartitioning" not in p.lower()

@@ -37,3 +37,78 @@ def test_read_report_header(tmp_path):
     data = tmp_path / "data.csv"
     data.write_text("a,b,c\n1,2,3\n")
     assert read_report_header(str(data)) is None
+
+
+def _write_minimal_xlsx(path):
+    """Hand-built SpreadsheetML zip (shared + inline + numeric cells)."""
+    import zipfile
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    shared = (
+        f'<?xml version="1.0"?><sst {ns} count="3" uniqueCount="3">'
+        "<si><t>cycle</t></si><si><t>voltage</t></si><si><t>note one</t></si></sst>"
+    )
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1" t="inlineStr"><is><t>note</t></is></c></row>'
+        '<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>3.7</v></c>'
+        '<c r="C2" t="s"><v>2</v></c></row>'
+        '<row r="3"><c r="A3"><v>2</v></c><c r="B3"><v>3.8</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    content_types = (
+        '<?xml version="1.0"?><Types '
+        'xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/></Types>'
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_read_xlsx_unstructured(spark, tmp_path):
+    """S4: a real XLSX path — stdlib SpreadsheetML reader, no codec dep
+    (reference Extractor.py:168-186)."""
+    from battetl_spark.sources.config import read_unstructured, read_xlsx_grid
+
+    p = tmp_path / "lab.xlsx"
+    _write_minimal_xlsx(str(p))
+    grid = read_xlsx_grid(str(p))
+    assert grid[0] == ["cycle", "voltage", "note"]
+    assert grid[1] == ["1", "3.7", "note one"]
+    df = read_unstructured(spark, str(p))
+    rows = df.orderBy("cycle").collect()
+    assert df.columns == ["cycle", "voltage", "note"]
+    assert len(rows) == 2
+    assert rows[0].voltage == "3.7" and rows[0].note == "note one"
+    assert rows[1].note == ""  # ragged row padded
+
+
+def test_aux_file_dispatch(tmp_path):
+    """S8/S10: per-extension aux scans — .mwf raw, .to/.fm INI, .bth latin-1
+    INI, .can XML (reference Extractor.py:297-315, 482-585)."""
+    from battetl_spark.sources.schedule import (
+        aux_from_files,
+        schedule_bundle_from_files,
+    )
+
+    (tmp_path / "wave.mwf").write_text("RAW WAVEFORM\n1,2,3\n", encoding="latin-1")
+    (tmp_path / "obj.to").write_text("[Object]\nname=cell-1\n")
+    (tmp_path / "form.fm").write_text("[Formula]\nexpr=v*2\n")
+    (tmp_path / "map.bth").write_bytes("[Mapping]\nlabel=\xe9tiquette\n".encode("latin-1"))
+    (tmp_path / "bms.can").write_text("<can><signal><name>soc</name></signal></can>")
+    (tmp_path / "sched.ini").write_text(
+        "[Step1]\nm_szSteptype=Charge\n[Step2]\nm_szSteptype=Rest\n"
+    )
+    paths = [str(p) for p in sorted(tmp_path.iterdir())]
+    aux = aux_from_files(paths)
+    assert aux["wave.mwf"].startswith("RAW WAVEFORM")
+    assert aux["obj.to"]["Object"]["name"] == "cell-1"
+    assert aux["form.fm"]["Formula"]["expr"] == "v*2"
+    assert aux["map.bth"]["Mapping"]["label"] == "\xe9tiquette"
+    assert aux["bms.can"]["can"]["signal"]["name"] == "soc"
+    sched, steps, aux2 = schedule_bundle_from_files(paths)
+    assert steps["chg"] == [1] and steps["rst"] == [2]
+    assert set(aux2) == {"wave.mwf", "obj.to", "form.fm", "map.bth", "bms.can"}

@@ -101,3 +101,26 @@ def test_crash_resume_from_checkpoint(
         assert (lin["epoch_id"] == 2).sum() == lin[lin.epoch_id == 2][
             "source_partition"
         ].nunique()
+
+
+def test_long_stream_auto_compaction_bounds_files(
+    spark, tmp_path, base_pdf, events_pdf, expected
+):
+    """50-microbatch stream with auto-compaction: files-per-bucket stays
+    bounded (a long-running stream must not accrete one file per commit
+    forever) and the final state still equals the oracle replay."""
+    src = str(tmp_path / "events-long")
+    write_event_files(spark, events_pdf, src, k=50)
+    t = seeded(spark, str(tmp_path / "table-long"), base_pdf)
+    stream = CdcStream(t, str(tmp_path / "ckpt-long"), auto_compact_files=6)
+    stream.run_to_completion(
+        read_change_event_stream(spark, src, max_files_per_trigger=1),
+        timeout_s=1800,
+    )
+    assert len(t.fences()) == 50
+    snap = t.snapshot()
+    worst = max(len(entries) for entries in snap["files"].values())
+    # threshold 6 + at most a handful of post-compaction commits before the
+    # next sweep; without compaction buckets reach ~50+ files here
+    assert worst <= 12, f"files-per-bucket unbounded: {worst}"
+    assert_pdf_equal(state(t), expected, KEY_COLS)
