@@ -510,6 +510,19 @@ def q_ann_lsh_topk(spark, sf):
 # --------------------------------------------------------------------------
 
 
+def q_ann_ivf_topk(spark, sf):
+    """IVF-style ANN: label-cell coarse quantizer, nprobe=2, exact re-rank
+    inside probed cells. Centroids are rounded per-dim means → the full
+    approximate pipeline is reproduced by the DuckDB oracle."""
+    from battetl_spark.analytics.similarity import ivf_cosine_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_cosine_topk(emb, queries, dim=64, k=10, nprobe=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: LWW CDC replay with delete semantics at sf0.001."""
     return q_cdc_replay(spark, SF1)
@@ -553,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 
@@ -945,6 +959,47 @@ def oracle_sql() -> dict[str, str]:
                                                     e.embedding::DOUBLE[]))
                               * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
               FROM embeddings e, q WHERE e.vec_id <> q.query_id
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, vec_id) AS rank
+              FROM sims
+            )
+            SELECT query_id, vec_id, cos_sim, rank::INT AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "ann_ivf_topk": """
+            WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            flat AS (SELECT label, unnest(v) AS val,
+                            generate_subscripts(v, 1) AS dim FROM e),
+            cent AS (
+              SELECT label, list(round(a, 6) ORDER BY dim) AS c
+              FROM (SELECT label, dim, avg(val) AS a FROM flat
+                    GROUP BY label, dim)
+              GROUP BY label
+            ),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+            probes AS (
+              SELECT query_id, label, qv FROM (
+                SELECT q.query_id, cent.label, q.qv,
+                       row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY round(list_dot_product(q.qv, cent.c)
+                               / (sqrt(list_dot_product(q.qv, q.qv))
+                                  * sqrt(list_dot_product(cent.c, cent.c))), 9)
+                               DESC, cent.label) AS cr
+                FROM q, cent)
+              WHERE cr <= 2
+            ),
+            sims AS (
+              SELECT p.query_id, e.vec_id,
+                     round(list_dot_product(e.v, p.qv)
+                           / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(p.qv, p.qv))), 6)
+                       AS cos_sim
+              FROM e JOIN probes p ON e.label = p.label
+              WHERE e.vec_id <> p.query_id
             ),
             ranked AS (
               SELECT *, row_number() OVER (PARTITION BY query_id

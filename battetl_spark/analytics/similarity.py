@@ -125,6 +125,78 @@ def lsh_bucket(vec_col, dim: int, num_planes: int = 12):
     return bucket
 
 
+def ivf_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN (the other scale path besides LSH): a coarse quantizer
+    partitions the corpus into cells, each query probes its ``nprobe``
+    nearest cell centroids, and only those cells are exact-re-ranked.
+
+    ``label_col`` is the pre-trained cell assignment (in production: k-means
+    ids computed offline; here the table's provided label column). Centroids
+    are per-dim means rounded to 6 — deterministic and engine-agnostic, so
+    the whole approximate pipeline is oracle-verifiable. Recall depends on
+    how well the labels cluster the data.
+
+    Scale shape: the corpus NEVER shuffles — centroids are a tiny aggregate
+    (cells × dim), the probe list broadcasts back, and the candidate join is
+    a broadcast semi-join on the cell id; re-rank work is ~nprobe/cells of
+    brute force."""
+    v = vectors.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    centroids = v.groupBy(label_col).agg(
+        F.array(*[F.round(F.avg(F.col("__v")[i]), 6) for i in range(dim)]).alias("__c")
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
+    )
+    # probe selection: rank centroids per query (rounded for cross-engine
+    # determinism, label tiebreak), keep nprobe
+    cw = Window.partitionBy(query_id_col).orderBy(
+        F.col("__csim").desc(), F.col(label_col)
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            query_id_col,
+            label_col,
+            "__qv",
+            F.round(cosine(F.col("__qv"), F.col("__c")), 9).alias("__csim"),
+        )
+        .withColumn("__cr", F.row_number().over(cw))
+        .filter(F.col("__cr") <= nprobe)
+        .select(query_id_col, label_col, "__qv")
+    )
+    sim = (
+        v.join(F.broadcast(probes), label_col)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("__v"), F.col("__qv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
 def lsh_cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -138,3 +138,30 @@ def test_multimodal_plumbing(spark):
     plan = frame_sample_plan(media, every_ms=10_000)
     one = plan.groupBy("media_id").count().first()
     assert one["count"] >= 1
+
+
+def test_ivf_full_probe_equals_exact(spark, emb):
+    """nprobe = all cells → IVF must equal brute force (machinery
+    equivalence; recall at lower nprobe is data/quantizer-dependent)."""
+    from battetl_spark.analytics.similarity import ivf_cosine_topk
+
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    n_cells = emb.select("label").distinct().count()
+    exact = cosine_topk(emb, queries, k=4).toPandas()
+    ivf = ivf_cosine_topk(emb, queries, dim=64, k=4, nprobe=n_cells).toPandas()
+    key = ["query_id", "rank"]
+    assert (
+        exact.sort_values(key).reset_index(drop=True)[["query_id", "vec_id", "rank"]]
+        .equals(ivf.sort_values(key).reset_index(drop=True)[["query_id", "vec_id", "rank"]])
+    )
+
+
+def test_ivf_partial_probe_valid(spark, emb):
+    from battetl_spark.analytics.similarity import ivf_cosine_topk
+
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_cosine_topk(emb, queries, dim=64, k=3, nprobe=2).toPandas()
+    assert (out.groupby("query_id").size() <= 3).all()
+    for _, g in out.groupby("query_id"):
+        s = g.sort_values("rank").cos_sim.tolist()
+        assert s == sorted(s, reverse=True)
