@@ -115,6 +115,21 @@ def read_unstructured(spark, path: str, reader_kwargs: dict | None = None):
     return reader.csv(path)
 
 
+def attach_datasheet(meta: dict, key: str = "datasheet") -> dict:
+    """Dim-row binary attachment: if ``meta[key]`` is an existing file path,
+    replace it with the file's bytes (reference Loader.py:908-917 loads the
+    cell datasheet PDF into a binary dim column); missing files raise so the
+    dim insert fails loudly instead of storing a dangling path."""
+    out = dict(meta)
+    if key in out:
+        path = out[key]
+        if not isinstance(path, (str, os.PathLike)) or not os.path.exists(path):
+            raise FileNotFoundError(f"datasheet file not found: {path!r}")
+        with open(path, "rb") as f:
+            out[key] = f.read()
+    return out
+
+
 def read_report_header(path: str, max_lines: int = 30) -> dict[str, str] | None:
     """'TEST REPORT'-style metadata preamble → dict; None if the file is a
     data file (reference __read_global_info Extractor.py:764-830 — produces

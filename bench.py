@@ -25,7 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_cdc_merge(spark, n_events: int, n_batches: int = 4, num_buckets: int = 64,
-                  dedup_strategy: str = "agg", work_dir: str | None = None) -> dict:
+                  dedup_strategy: str = "fused", work_dir: str | None = None) -> dict:
+    # "fused" = the engine-default single-shuffle merge (dedup folded into
+    # the resolve aggregation) — the flagship path CdcStream/submit_job run
     """Merge-apply replay benchmark; returns timing + throughput."""
     from battetl_spark.cdc import merge_apply
     from battetl_spark.fixtures import spark_change_events
@@ -84,7 +86,10 @@ ANALYTIC_QUERIES = [
     "doc_quality",
     "doc_fingerprint",
     "doc_minhash_dedup",
+    "doc_simhash",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
 
 

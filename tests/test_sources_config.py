@@ -112,3 +112,35 @@ def test_aux_file_dispatch(tmp_path):
     sched, steps, aux2 = schedule_bundle_from_files(paths)
     assert steps["chg"] == [1] and steps["rst"] == [2]
     assert set(aux2) == {"wave.mwf", "obj.to", "form.fm", "map.bth", "bms.can"}
+
+
+def test_binary_datasheet_dim_column(spark, tmp_path):
+    """Dim table with an opaque binary column (reference Loader.py:908-917
+    loads a PDF into cell_meta): bytes survive the lakehouse round-trip and
+    a copy-on-write overwrite."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from battetl_spark.lake import LakeTable
+    from battetl_spark.sources.config import attach_datasheet
+
+    pdf_path = tmp_path / "cell.pdf"
+    payload = b"%PDF-1.4\x00\x01binary\xffbytes"
+    pdf_path.write_bytes(payload)
+    meta = attach_datasheet({"cell_type": "XYZ-21700", "datasheet": str(pdf_path)})
+    assert meta["datasheet"] == payload
+
+    schema = T.StructType([
+        T.StructField("cell_type", T.StringType(), False),
+        T.StructField("datasheet", T.BinaryType(), True),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "dim"), schema,
+                         num_buckets=4, bucket_key="cell_type",
+                         key_cols=["cell_type"])
+    t.append(spark.createDataFrame([(meta["cell_type"], meta["datasheet"])], schema))
+    got = t.scan().collect()[0]
+    assert bytes(got.datasheet) == payload
+    # missing file fails loudly, nothing stored
+    import pytest as _pt
+    with _pt.raises(FileNotFoundError):
+        attach_datasheet({"cell_type": "A", "datasheet": str(tmp_path / "nope.pdf")})

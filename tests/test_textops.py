@@ -165,3 +165,18 @@ def test_ivf_partial_probe_valid(spark, emb):
     for _, g in out.groupby("query_id"):
         s = g.sort_values("rank").cos_sim.tolist()
         assert s == sorted(s, reverse=True)
+
+
+def test_minhash_estimate_path(spark, docs):
+    """verify='estimate' (signature-only, for scales where fetching shingle
+    sets is too expensive): planted near-dups still surface."""
+    planted = (
+        docs.orderBy("doc_id").limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 500_000)
+        .withColumn("text", F.concat("text", F.lit(" tail")))
+    )
+    corpus = docs.unionByName(planted)
+    pairs = TX.minhash_lsh_pairs(corpus, jaccard_threshold=0.5, verify="estimate")
+    assert pairs.columns == ["id_a", "id_b", "est_jaccard"]
+    hits = pairs.filter("id_b - id_a = 500000").count()
+    assert hits >= 4  # estimate is probabilistic; >=4/5 at j~0.95
