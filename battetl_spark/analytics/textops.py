@@ -350,17 +350,47 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    order_by: str = "frequency",
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs with GUARANTEED recall via prefix filtering
-    (AllPairs/PPJoin): order each doc's shingle hashes ascending; a pair with
-    J >= t must share an element within each side's first
-    |S| - ceil(t·|S|) + 1 elements (else overlap < t·|S| <= t·|union|).
-    Candidates therefore come from a self-join on prefix elements only — no
-    LSH randomness, no cross product — and are exact-verified."""
-    with_sh = docs.select(
-        F.col(id_col),
-        F.array_sort(word_shingle_hashes(text_col, shingle_k)).alias("sh"),
-    )
+    (AllPairs/PPJoin): order each doc's shingle hashes under a single global
+    total order; a pair with J >= t must share an element within each side's
+    first |S| - ceil(t·|S|) + 1 elements (else overlap < t·|S| <=
+    t·|union|). Candidates therefore come from a self-join on prefix
+    elements only — no LSH randomness, no cross product — and are
+    exact-verified.
+
+    ``order_by='frequency'`` (default) uses ascending document frequency
+    (ties by hash) — the AllPairs ordering: prefixes then hold each doc's
+    RAREST shingles, so the self-join groups are the smallest possible. On
+    Zipfian real-world corpora this is the difference between quadratic and
+    near-linear candidates; correctness is identical under ANY global order
+    (``order_by='hash'`` skips the frequency pass — two fewer shuffles —
+    for corpora with near-uniform token frequencies)."""
+    if order_by == "frequency":
+        tok = docs.select(
+            F.col(id_col),
+            F.explode(word_shingle_hashes(text_col, shingle_k)).alias("__s"),
+        )
+        dfreq = tok.groupBy("__s").agg(F.count("*").alias("__df"))
+        with_sh = (
+            tok.join(dfreq, "__s")
+            .groupBy(id_col)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__df"), F.col("__s")))
+                ).alias("__osh")
+            )
+            .select(
+                F.col(id_col),
+                F.transform("__osh", lambda x: x["__s"]).alias("sh"),
+            )
+        )
+    else:
+        with_sh = docs.select(
+            F.col(id_col),
+            F.array_sort(word_shingle_hashes(text_col, shingle_k)).alias("sh"),
+        )
     prefix_len = (
         F.size("sh") - F.ceil(F.lit(float(threshold)) * F.size("sh")).cast("int") + 1
     )

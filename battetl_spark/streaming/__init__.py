@@ -1,1 +1,5 @@
-from battetl_spark.streaming.pipeline import CdcStream, read_change_event_stream  # noqa: F401
+from battetl_spark.streaming.pipeline import (  # noqa: F401
+    CdcStream,
+    read_change_event_stream,
+    windowed_metrics_stream,
+)

@@ -22,6 +22,7 @@ same pipeline reads a Kafka/binlog source with lsn supplied by the log.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from battetl_spark.cdc.merge import merge_apply
@@ -40,6 +41,37 @@ def read_change_event_stream(
         spark.readStream.schema(schema or CHANGE_EVENT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
+    )
+
+
+def windowed_metrics_stream(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time tumbling-window rollup with a late-data watermark
+    (SURVEY §2.9: watermarks + windowed aggs) — the streaming metrics feed
+    beside the merge (per-window event counts / op mix / max LSN).
+
+    Semantics (standard Structured Streaming): state for a window is kept
+    until the event-time watermark (max seen ts - ``watermark``) passes its
+    end; later-arriving events for finalized windows are DROPPED, which is
+    what bounds state at 10^10 events — without it every window lives
+    forever. In append output mode each finalized window emits exactly once,
+    so the sink can be a plain append table."""
+    # watermarks require TIMESTAMP (tz-aware); the event schema's ts is
+    # timestamp_ntz — with the session tz pinned to UTC the cast is lossless
+    return (
+        events.withColumn("__evt", F.col("ts").cast("timestamp"))
+        .withWatermark("__evt", watermark)
+        .groupBy(F.window("__evt", window_duration).alias("win"), "op")
+        .agg(F.count("*").alias("n_events"), F.max("lsn").alias("max_lsn"))
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("op"),
+            F.col("n_events"),
+            F.col("max_lsn"),
+        )
     )
 
 

@@ -116,3 +116,19 @@ def test_no_global_sort_in_incremental_maintenance_path(spark):
     )
     p = plan(calc_cycle_stats(data, chg_steps=[1], dsg_steps=[2]), "simple")
     assert "rangepartitioning" not in p.lower()
+
+
+def test_textops_plan_shapes(spark):
+    """The near-dup/ANN operators' scale claims, visible in the plan:
+    map-side partial aggregation for signature builds, column-pruned scans
+    (never the full documents row), and rank-limit pushdown for top-k."""
+    p = plan(E.q_doc_simhash(spark, SF))
+    assert "partial_sum" in p          # 64 bit-votes combine map-side
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "text" in read and "lang" not in read and "source" not in read
+    p = plan(E.q_doc_minhash_dedup(spark, SF))
+    assert "partial_min" in p          # K minhashes combine map-side
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    p = plan(E.q_ann_ivf_topk(spark, SF))
+    assert "WindowGroupLimit" in p     # top-k pushed below the rank filter
+    assert "partial_avg" in p          # centroids combine map-side

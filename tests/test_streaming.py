@@ -124,3 +124,76 @@ def test_long_stream_auto_compaction_bounds_files(
     # next sweep; without compaction buckets reach ~50+ files here
     assert worst <= 12, f"files-per-bucket unbounded: {worst}"
     assert_pdf_equal(state(t), expected, KEY_COLS)
+
+
+def test_windowed_metrics_watermark_drops_late_events(spark, tmp_path):
+    """Event-time windowed agg with watermark (§2.9): finalized windows emit
+    exactly once in append mode; an event arriving after the watermark
+    passed its window is DROPPED (bounded state), not re-emitted."""
+    import pandas as pd
+
+    from battetl_spark.streaming import windowed_metrics_stream
+
+    src = str(tmp_path / "wm-events")
+    base = pd.Timestamp("2024-01-01 00:30:00")
+
+    def events_file(rows):
+        pdf = pd.DataFrame(
+            {
+                "lsn": [r[0] for r in rows],
+                "op": [r[1] for r in rows],
+                "conv_id": ["c"] * len(rows),
+                "turn_idx": [0] * len(rows),
+                "role": ["user"] * len(rows),
+                "text": ["t"] * len(rows),
+                "tool": [None] * len(rows),
+                "ts": [base + pd.Timedelta(hours=r[2]) for r in rows],
+                "source_partition": [0] * len(rows),
+            }
+        )
+        FX.change_events_df(spark, pdf).coalesce(1).write.mode("append").parquet(src)
+
+    import time
+
+    # batch 1: 3 events in the hour-0 window, 1 in hour-3 (advances the
+    # watermark to 02:30 ⇒ hour-0 finalizes and emits at the next batch)
+    events_file([(1, "i", 0), (2, "u", 0.2), (3, "i", 0.4), (4, "i", 3)])
+    time.sleep(1.2)  # distinct mtimes keep the file-source batch order
+    # batch 2: hour-6 event → hour-0 emits here (watermark 02:30), watermark
+    # advances to 05:30 ⇒ hour-3 finalizes next
+    events_file([(6, "i", 6)])
+    time.sleep(1.2)
+    # batch 3: a LATE hour-0 event arriving AFTER its window's state was
+    # evicted — must be dropped, never re-emitted as a new hour-0 row
+    events_file([(5, "u", 0.1)])
+
+    collected = []
+
+    def sink(df, epoch):
+        collected.extend(r.asDict() for r in df.collect())
+
+    stream = windowed_metrics_stream(
+        spark.readStream.schema(FX.CHANGE_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        window_duration="1 hour",
+        watermark="1 hour",
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wm-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    assert q.exception() is None
+    by_key = {(r["window_start"].hour, r["op"]): r["n_events"] for r in collected}
+    # hour-0 window finalized with exactly the 3 on-time events; the late
+    # lsn=5 update (post-eviction) was DROPPED — not counted, not re-emitted
+    assert by_key[(0, "i")] == 2 and by_key[(0, "u")] == 1
+    assert sum(1 for r in collected if r["window_start"].hour == 0) == 2
+    # hour-3 window flushed once the watermark passed it
+    assert by_key[(3, "i")] == 1
+    # append mode: every finalized window emitted exactly once
+    assert len(collected) == len({(r["window_start"], r["op"]) for r in collected})

@@ -180,3 +180,15 @@ def test_minhash_estimate_path(spark, docs):
     assert pairs.columns == ["id_a", "id_b", "est_jaccard"]
     hits = pairs.filter("id_b - id_a = 500000").count()
     assert hits >= 4  # estimate is probabilistic; >=4/5 at j~0.95
+
+
+def test_prefix_filter_order_equivalence(spark, docs):
+    """Prefix-filter recall is guaranteed under ANY global order: frequency
+    ordering (AllPairs) and plain hash ordering must emit identical pairs."""
+    freq = TX.ngram_jaccard_pairs(docs, threshold=0.4).toPandas()
+    hsh = TX.ngram_jaccard_pairs(docs, threshold=0.4, order_by="hash").toPandas()
+    key = ["id_a", "id_b"]
+    assert (
+        freq.sort_values(key).reset_index(drop=True)
+        .equals(hsh.sort_values(key).reset_index(drop=True))
+    )
