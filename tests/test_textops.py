@@ -129,15 +129,58 @@ def test_lsh_bucketed_results_valid(spark, emb):
         assert s == sorted(s, reverse=True)
 
 
-def test_multimodal_plumbing(spark):
-    media = synthetic_media(spark, 50)
+def test_multimodal_real_codecs(spark):
+    """Round-trip the stdlib codecs and the Spark operators over them."""
+    import numpy as np
+
+    from battetl_spark.analytics.multimodal import (
+        decode_bmp,
+        decode_video_frame,
+        decode_wav,
+        encode_bmp,
+        encode_video,
+        encode_wav,
+        resize_images,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)  # exact round-trip
+    samples = (10_000 * np.sin(np.arange(4000) / 10.0)).astype(np.int16)
+    got, rate = decode_wav(encode_wav(samples, 16_000))
+    assert rate == 16_000 and np.array_equal(got, samples)
+    frames = [rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8) for _ in range(4)]
+    vid = encode_video(frames, fps=10)
+    assert np.array_equal(decode_video_frame(vid, 2), frames[2])
+
+    media = synthetic_media(spark, 30)
     feats = extract_features(media)
     rows = feats.collect()
-    assert len(rows) == 50
+    assert len(rows) == 30
     assert all(len(r.feature) == 8 for r in rows)
-    plan = frame_sample_plan(media, every_ms=10_000)
-    one = plan.groupBy("media_id").count().first()
-    assert one["count"] >= 1
+    # image features carry real dimensions (h, w at positions 4, 5)
+    meta = {r.media_id: r for r in media.collect()}
+    for r in rows:
+        if meta[r.media_id].kind == "image":
+            assert int(r.feature[4]) == meta[r.media_id].height
+            assert int(r.feature[5]) == meta[r.media_id].width
+
+    resized = resize_images(media, 4, 4)
+    for r in resized.filter("kind = 'image'").collect():
+        arr = decode_bmp(bytes(r.payload))
+        assert arr.shape == (4, 4, 3) and r.width == 4 and r.height == 4
+    # non-image payloads untouched
+    a0 = {r.media_id: bytes(r.payload) for r in media.filter("kind='audio'").collect()}
+    a1 = {r.media_id: bytes(r.payload) for r in resized.filter("kind='audio'").collect()}
+    assert a0 == a1
+
+    plan = frame_sample_plan(media, every_ms=200)
+    assert plan.groupBy("media_id").count().first()["count"] >= 1
+    sampled = sample_frames(media, every_ms=200).collect()
+    assert sampled and all(0.0 <= v <= 1.0 for r in sampled for v in r.mean_rgb)
+    # frame indices within each video's frame count
+    assert all(r.frame_idx >= 0 for r in sampled)
 
 
 def test_ivf_full_probe_equals_exact(spark, emb):
