@@ -48,6 +48,7 @@ class MergeResult:
     rows_updated: int = 0
     rows_deleted: int = 0
     buckets_rewritten: list[int] = field(default_factory=list)
+    lineage: list[dict] = field(default_factory=list)  # per-source-partition
 
 
 def _incoming_table_schema(events: DataFrame) -> T.StructType:
@@ -253,6 +254,9 @@ def merge_apply(
             rows_updated=upd,
             rows_deleted=dele,
             buckets_rewritten=buckets,
+            lineage=[
+                {**r, "snapshot_id": new_snap["snapshot_id"]} for r in lineage_rows
+            ],
         )
     finally:
         if persisted is not None:

@@ -89,6 +89,7 @@ class CdcStream:
         on_batch=None,
         fail_injector=None,
         auto_compact_files: int | None = 16,
+        metrics_dir: str | None = None,
     ):
         self.table = table
         self.checkpoint_dir = checkpoint_dir
@@ -103,6 +104,11 @@ class CdcStream:
         # None disables. Compaction is itself a snapshot-atomic copy-on-write
         # commit with conflict detection, so a crash mid-compact is harmless.
         self.auto_compact_files = auto_compact_files
+        # metrics table: per-partition lineage rows (source offsets, commit
+        # snapshot-id, row counts) appended per batch — the queryable metrics
+        # feed beside the fenced merge. Idempotent under replay: a replayed
+        # epoch is fenced → applied=False → nothing re-appended.
+        self.metrics_dir = metrics_dir
 
     def _apply(self, batch_df: DataFrame, epoch_id: int) -> None:
         if self.fail_injector is not None:
@@ -119,6 +125,20 @@ class CdcStream:
             self.fail_injector(epoch_id, "after_merge")
         if self.auto_compact_files is not None and result.applied:
             self.table.compact(min_files_per_bucket=self.auto_compact_files)
+        if self.metrics_dir is not None and result.applied and result.lineage:
+            from datetime import datetime
+
+            from battetl_spark.schemas import LINEAGE_SCHEMA
+
+            spark = batch_df.sparkSession
+            rows = [
+                {**r, "committed_at": datetime.fromisoformat(r["committed_at"])}
+                for r in result.lineage
+            ]
+            spark.createDataFrame(
+                [tuple(r[f.name] for f in LINEAGE_SCHEMA.fields) for r in rows],
+                LINEAGE_SCHEMA,
+            ).coalesce(1).write.mode("append").parquet(self.metrics_dir)
         if self.on_batch is not None:
             self.on_batch(epoch_id, result)
 

@@ -197,3 +197,30 @@ def test_windowed_metrics_watermark_drops_late_events(spark, tmp_path):
     assert by_key[(3, "i")] == 1
     # append mode: every finalized window emitted exactly once
     assert len(collected) == len({(r["window_start"], r["op"]) for r in collected})
+
+
+def test_metrics_table_lineage_per_batch(spark, tmp_path, base_pdf, events_pdf):
+    """North-rule metrics feed: per-partition lineage rows (source offsets,
+    snapshot id, row counts) land in a queryable metrics table, once per
+    applied epoch, and reconcile with the table's own lineage."""
+    src = str(tmp_path / "events-metrics")
+    write_event_files(spark, events_pdf, src, k=4)
+    t = seeded(spark, str(tmp_path / "table-metrics"), base_pdf)
+    metrics = str(tmp_path / "metrics")
+    stream = CdcStream(t, str(tmp_path / "ckpt-metrics"), metrics_dir=metrics)
+    stream.run_to_completion(read_change_event_stream(spark, src))
+
+    m = spark.read.parquet(metrics)
+    assert set(m.columns) >= {
+        "epoch_id", "source_partition", "min_lsn", "max_lsn",
+        "rows_inserted", "rows_updated", "rows_deleted", "snapshot_id",
+    }
+    assert m.select("epoch_id").distinct().count() == 4
+    # offsets cover the whole log exactly
+    lo, hi = m.agg({"min_lsn": "min", "max_lsn": "max"}).first()
+    assert lo == events_pdf["lsn"].min() and hi == events_pdf["lsn"].max()
+    # one row per (epoch, source_partition)
+    assert m.count() == m.select("epoch_id", "source_partition").distinct().count()
+    # reconciles with the snapshot-embedded lineage
+    snap_lineage = t.lineage_df()
+    assert snap_lineage.count() == m.count()
