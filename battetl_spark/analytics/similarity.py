@@ -197,6 +197,125 @@ def ivf_cosine_topk(
     )
 
 
+def train_kmeans_cells(
+    vectors: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer (the
+    'pre-trained k-means ids' a production IVF index needs).
+
+    Deterministic: seeds are the vectors with the n_cells smallest
+    xxhash64(id) values; a fixed iteration count; centroid components are
+    per-dim means rounded to 6. Each iteration is ONE Spark job: assignment
+    is a broadcast join against the (tiny) centroid table + min_by, new
+    centroids are a map-side-combinable groupBy — the corpus never shuffles
+    by anything but its n_cells-key assignment, and only n_cells×dim floats
+    ever reach the driver."""
+    spark = vectors.sparkSession
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    seeds = (
+        v.withColumn("__h", F.xxhash64(id_col))
+        .orderBy("__h")
+        .limit(n_cells)
+        .select("__v")
+        .collect()
+    )
+    centroids = [list(r["__v"]) for r in seeds]
+    for _ in range(iters):
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(centroids)], ["cell", "__c"]
+            )
+        )
+        dist = F.aggregate(
+            F.zip_with("__v", "__c", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+        assigned = (
+            v.crossJoin(cdf)
+            .select(id_col, "__v", "cell", dist.alias("__d"))
+            .groupBy(id_col)
+            .agg(
+                F.min_by("cell", F.struct("__d", "cell")).alias("cell"),
+                F.first("__v").alias("__v"),
+            )
+        )
+        rows = (
+            assigned.groupBy("cell")
+            .agg(
+                F.array(
+                    *[F.round(F.avg(F.col("__v")[i]), 6) for i in range(dim)]
+                ).alias("__c")
+            )
+            .collect()
+        )
+        new = {r["cell"]: list(r["__c"]) for r in rows}
+        centroids = [new.get(i, centroids[i]) for i in range(n_cells)]
+    return centroids
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) assignment against trained centroids — broadcast join +
+    min_by, no corpus shuffle."""
+    spark = vectors.sparkSession
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)], ["cell", "__c"]
+        )
+    )
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    dist = F.aggregate(
+        F.zip_with("__v", "__c", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    return (
+        v.crossJoin(cdf)
+        .select(id_col, "cell", dist.alias("__d"))
+        .groupBy(id_col)
+        .agg(F.min_by("cell", F.struct("__d", "cell")).alias("cell"))
+    )
+
+
+def kmeans_ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    nprobe: int = 2,
+    n_cells: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN with a self-trained k-means coarse quantizer: train cells,
+    attach assignments as the label column, and run the probed exact
+    re-rank. (Iterative trainer → pytest-verified, no SQL oracle.)"""
+    centroids = train_kmeans_cells(vectors, dim, n_cells, iters, id_col, vec_col)
+    cells = assign_cells(vectors, centroids, id_col, vec_col)
+    labeled = vectors.join(cells, id_col).withColumnRenamed("cell", "__cell")
+    return ivf_cosine_topk(
+        labeled, queries, dim, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        label_col="__cell",
+    )
+
+
 def lsh_cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -235,3 +235,49 @@ def test_prefix_filter_order_equivalence(spark, docs):
         freq.sort_values(key).reset_index(drop=True)
         .equals(hsh.sort_values(key).reset_index(drop=True))
     )
+
+
+def test_kmeans_quantizer_and_ivf(spark, emb):
+    """Distributed Lloyd's trainer: deterministic across runs, objective
+    non-increasing, assignments valid; kmeans-IVF returns ranked neighbors;
+    full probe of trained cells == brute force."""
+    import numpy as np
+
+    from battetl_spark.analytics.similarity import (
+        assign_cells,
+        kmeans_ivf_topk,
+        train_kmeans_cells,
+    )
+
+    c1 = train_kmeans_cells(emb, dim=64, n_cells=4, iters=3)
+    c2 = train_kmeans_cells(emb, dim=64, n_cells=4, iters=3)
+    assert c1 == c2  # deterministic
+    assert len(c1) == 4 and all(len(c) == 64 for c in c1)
+
+    cells = assign_cells(emb, c1).toPandas()
+    assert set(cells.cell.unique()) <= {0, 1, 2, 3}
+    assert len(cells) == emb.count()
+
+    # objective (mean squared distance to assigned centroid) improves with
+    # more iterations (or stays equal at convergence)
+    def objective(cents):
+        pdf = emb.toPandas()
+        vecs = np.stack(pdf.embedding.values).astype(float)
+        d = ((vecs[:, None, :] - np.array(cents)[None, :, :]) ** 2).sum(-1)
+        return d.min(axis=1).mean()
+
+    c0 = train_kmeans_cells(emb, dim=64, n_cells=4, iters=1)
+    assert objective(c1) <= objective(c0) + 1e-9
+
+    queries = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = kmeans_ivf_topk(emb, queries, dim=64, k=3, nprobe=2, n_cells=4).toPandas()
+    assert (out.groupby("query_id").size() <= 3).all()
+    full = kmeans_ivf_topk(
+        emb, queries, dim=64, k=3, nprobe=4, n_cells=4
+    ).toPandas()
+    exact = cosine_topk(emb, queries, k=3).toPandas()
+    key = ["query_id", "rank"]
+    assert (
+        exact.sort_values(key).reset_index(drop=True)[["query_id", "vec_id"]]
+        .equals(full.sort_values(key).reset_index(drop=True)[["query_id", "vec_id"]])
+    )

@@ -1,0 +1,109 @@
+"""End-to-end verify at the library surface (.claude/skills/verify recipe).
+
+Drives: CDC replay vs pandas oracle, fence no-op, schema-gate atomicity,
+empty batch, the round-2 oracle-reshaped queries vs DuckDB at sf0.01, and
+the ETL surfaces (7-layout detection, xlsx, aux scans, datasheet attach).
+Exit prints VERIFY PASS markers; any assertion failure is a real break."""
+import shutil, tempfile, sys
+sys.path.insert(0, "/root/repo")
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+from battetl_spark import get_spark
+from battetl_spark import fixtures as FX
+from battetl_spark.cdc import merge_apply
+from battetl_spark.lake import LakeTable
+from battetl_spark.lake.evolution import SchemaCompatibilityError
+from battetl_spark.schemas import KEY_COLS, LAST_LSN_COL, TRANSCRIPT_TABLE_SCHEMA
+
+spark = get_spark(master="local[8]", shuffle_partitions=8, app_name="verify")
+ALL_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", LAST_LSN_COL]
+
+d = tempfile.mkdtemp()
+try:
+    base = FX.make_transcripts(seed=11, n_convs=50, max_turns=10)
+    ev = FX.make_change_events(seed=12, n_events=6000, n_convs=60, max_turns=10)
+    tbl = LakeTable.create(spark, d + "/t", TRANSCRIPT_TABLE_SCHEMA,
+                           num_buckets=8, bucket_key="conv_id",
+                           key_cols=KEY_COLS, sort_cols=KEY_COLS)
+    tbl.append(FX.table_rows_df(spark, base))
+    # microbatch replay
+    n = len(ev)
+    last = None
+    for i in range(4):
+        batch = ev.iloc[i * n // 4:(i + 1) * n // 4]
+        r = merge_apply(tbl, FX.change_events_df(spark, batch), epoch_id=i)
+        assert r.applied
+        last = batch
+    got = tbl.scan().orderBy(*KEY_COLS).toPandas()[ALL_COLS].reset_index(drop=True)
+    exp = FX.pandas_oracle_replay(base, ev)[ALL_COLS].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    v0 = tbl.snapshot()["version"]
+    # replayed epoch = no-op
+    r = merge_apply(tbl, FX.change_events_df(spark, last), epoch_id=3)
+    assert not r.applied and tbl.snapshot()["version"] == v0, "fence broken"
+    # incompatible schema must raise, no version bump
+    bad = FX.change_events_df(spark, last).withColumn("role", F.lit(1.5))
+    try:
+        merge_apply(tbl, bad, epoch_id=99)
+        raise AssertionError("expected SchemaCompatibilityError")
+    except SchemaCompatibilityError:
+        pass
+    assert tbl.snapshot()["version"] == v0, "partial commit on bad schema"
+    # empty batch
+    r = merge_apply(tbl, FX.change_events_df(spark, ev.iloc[0:0]), epoch_id=100)
+    assert not r.applied
+    print("CDC surface: OK")
+finally:
+    shutil.rmtree(d, ignore_errors=True)
+
+import __spark_entry__ as E
+sf = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ["events", "documents", "embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+for name in ["doc_minhash_dedup", "doc_simhash", "doc_ngram_jaccard",
+             "ann_lsh_topk", "anti_join_new_keys", "ann_ivf_topk"]:
+    got = E.queries()[name](spark, sf).toPandas()
+    exp = con.sql(E.oracle_sql()[name]).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(exp.columns), (name, cols, sorted(exp.columns))
+    g = got[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    e = exp[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    assert g.equals(e), f"{name} values differ"
+    print(f"query {name}: OK ({len(got)} rows)")
+print("VERIFY PASS")
+
+# ETL-surface drive (round-2 additions: 7-layout detection, xlsx, aux scans)
+import tempfile as _tf, zipfile as _zf, os as _os
+from battetl_spark.transform import detect_source, normalize_cycler_data
+from battetl_spark.sources.config import read_unstructured
+from battetl_spark.sources.schedule import schedule_bundle_from_files
+
+hdr = ["Cycle", "Date", "AH-IN", "AH-OUT", "T1_Start", "T1_End", "T1_Min", "T1_Max"]
+assert detect_source(hdr) == "vendor_m_stats"
+df = spark.createDataFrame(
+    [("1", "08/16/2026 10:00:00", "1.0", "0.9", "25", "26", "24", "27")], hdr)
+row = normalize_cycler_data(df).collect()[0]
+assert row["charge_capacity_mah"] == 1000.0
+d2 = _tf.mkdtemp()
+ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+with _zf.ZipFile(_os.path.join(d2, "x.xlsx"), "w") as z:
+    z.writestr("xl/worksheets/sheet1.xml",
+        f'<worksheet {ns}><sheetData>'
+        '<row><c r="A1" t="inlineStr"><is><t>a</t></is></c></row>'
+        '<row><c r="A2"><v>7</v></c></row></sheetData></worksheet>')
+assert read_unstructured(spark, _os.path.join(d2, "x.xlsx")).collect()[0].a == "7"
+open(_os.path.join(d2, "s.ini"), "w").write("[Step1]\nm_szSteptype=Charge\n")
+open(_os.path.join(d2, "w.mwf"), "w").write("RAW")
+sched, steps, aux = schedule_bundle_from_files(
+    [_os.path.join(d2, "s.ini"), _os.path.join(d2, "w.mwf")])
+assert steps["chg"] == [1] and aux["w.mwf"] == "RAW"
+print("ETL surface: OK")
+print("VERIFY PASS (full)")
+
+# binary datasheet dim attachment (round-2 parity item)
+from battetl_spark.sources.config import attach_datasheet
+_p = _os.path.join(d2, "cell.pdf"); open(_p, "wb").write(b"%PDF\x00\xff")
+assert attach_datasheet({"datasheet": _p})["datasheet"] == b"%PDF\x00\xff"
+print("datasheet: OK")
