@@ -281,3 +281,25 @@ def test_kmeans_quantizer_and_ivf(spark, emb):
         exact.sort_values(key).reset_index(drop=True)[["query_id", "vec_id"]]
         .equals(full.sort_values(key).reset_index(drop=True)[["query_id", "vec_id"]])
     )
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    """Planted near-dup embeddings (tiny perturbation, cos ≈ 0.9995) are all
+    recovered; the clean corpus (max pair cos ≈ 0.5) yields nothing."""
+    import numpy as np
+
+    from battetl_spark.analytics.similarity import embedding_near_dup_pairs
+
+    pdf = emb.limit(5).toPandas()
+    rng = np.random.default_rng(3)
+    pdf["vec_id"] = pdf["vec_id"] + 500_000
+    pdf["embedding"] = [
+        (np.array(v, dtype=np.float32) + rng.normal(0, 0.01, len(v)).astype(np.float32)).tolist()
+        for v in pdf["embedding"]
+    ]
+    corpus = emb.unionByName(spark.createDataFrame(pdf, emb.schema))
+    out = embedding_near_dup_pairs(corpus, dim=64, threshold=0.9).toPandas()
+    assert set(out.id_b - out.id_a) == {500_000} and len(out) == 5
+    assert (out.cos_sim >= 0.9).all()
+    # clean corpus: no pair is near-dup at 0.9
+    assert embedding_near_dup_pairs(emb, dim=64, threshold=0.9).count() == 0
