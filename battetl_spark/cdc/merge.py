@@ -67,8 +67,15 @@ def merge_apply(
     salt_buckets: int = 32,
     collect_lineage: bool = True,
     target_partitions: int | None = None,
+    conflict_retries: int = 2,
 ) -> MergeResult:
     """Apply one batch of change events to the table, exactly once.
+
+    A concurrent writer (another merge, a compaction) that lands on an
+    overlapping bucket between our scan and our commit aborts the commit
+    with CommitConflict; the merge then RE-RUNS against the fresh snapshot
+    (up to ``conflict_retries`` times) — a rebase, never a blind re-apply,
+    so no committed row is ever overwritten from stale data.
 
     ``epoch_id`` fences the commit: if this epoch is already in the table's
     fence map the batch is skipped entirely (idempotent replay). With
@@ -85,6 +92,30 @@ def merge_apply(
       battetl_spark.cdc.dedup strategy first (two shuffles; ``salted`` is
       the explicit two-phase skew path, equivalence-tested).
     """
+    from battetl_spark.lake.table import CommitConflict
+
+    last: CommitConflict | None = None
+    for _ in range(conflict_retries + 1):
+        try:
+            return _merge_apply_once(
+                table, events, epoch_id, key_cols, dedup_strategy,
+                salt_buckets, collect_lineage, target_partitions,
+            )
+        except CommitConflict as e:
+            last = e  # rebase: everything below re-derives from a fresh snapshot
+    raise last
+
+
+def _merge_apply_once(
+    table: LakeTable,
+    events: DataFrame,
+    epoch_id: int | None,
+    key_cols: list[str] | None,
+    dedup_strategy: str,
+    salt_buckets: int,
+    collect_lineage: bool,
+    target_partitions: int | None,
+) -> MergeResult:
     key_cols = key_cols or KEY_COLS
     if epoch_id is not None and table.has_fence(epoch_id):
         return MergeResult(applied=False)

@@ -141,3 +141,68 @@ def test_null_bucket_key_lands_in_real_bucket(spark, tmp_path):
     # maintenance paths accept the table (int(b) never raises)
     t.compact(min_files_per_bucket=1)
     assert t.scan().count() == 2
+
+
+def test_racing_appends_both_land(spark, table):
+    """Two writers appending concurrently: appends never conflict, so both
+    commits must land through the optimistic retry (no lost update, no
+    CommitConflict), and every row survives."""
+    import threading
+
+    before = table.scan().count()
+    pdfs = [
+        FX.make_transcripts(seed=100 + i, n_convs=10, max_turns=4) for i in range(2)
+    ]
+    # pre-materialize DataFrames on the main thread (py4j is thread-safe for
+    # actions; building from pandas concurrently is too, but keep it simple)
+    dfs = [FX.table_rows_df(spark, p) for p in pdfs]
+    errors = []
+
+    def run(df):
+        try:
+            table.append(df)
+        except Exception as e:  # pragma: no cover - failure diagnostics
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(d,)) for d in dfs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert table.scan().count() == before + sum(len(p) for p in pdfs)
+    # both commits produced distinct versions (serialized by the retry loop)
+    assert table.snapshot()["version"] >= 4
+
+
+def test_racing_compaction_vs_merge_never_loses_rows(spark, table):
+    """Compaction racing a merge: either both serialize cleanly or the
+    compaction aborts with CommitConflict — in every outcome the merged rows
+    are present afterwards (compaction can lose the race, never the data)."""
+    import threading
+
+    ev = FX.make_change_events(seed=8, n_events=1500, n_convs=40, max_turns=6)
+    events = FX.change_events_df(spark, ev)
+    exc: list = []
+
+    def compact():
+        try:
+            table.compact(min_files_per_bucket=1)
+        except CommitConflict:
+            pass  # legitimate: lost the race to the merge
+        except Exception as e:  # pragma: no cover
+            exc.append(e)
+
+    def merge():
+        try:
+            merge_apply(table, events, epoch_id=77)
+        except Exception as e:  # pragma: no cover
+            exc.append(e)
+
+    t1, t2 = threading.Thread(target=compact), threading.Thread(target=merge)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert exc == []
+    # the merge's effect is present: replaying epoch 77 is a fence no-op
+    assert table.has_fence(77)
+    res = merge_apply(table, events, epoch_id=77)
+    assert not res.applied
