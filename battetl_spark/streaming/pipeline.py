@@ -90,6 +90,7 @@ class CdcStream:
         fail_injector=None,
         auto_compact_files: int | None = 16,
         metrics_dir: str | None = None,
+        stats_table: LakeTable | None = None,
     ):
         self.table = table
         self.checkpoint_dir = checkpoint_dir
@@ -109,6 +110,13 @@ class CdcStream:
         # feed beside the fenced merge. Idempotent under replay: a replayed
         # epoch is fenced → applied=False → nothing re-appended.
         self.metrics_dir = metrics_dir
+        # incrementally-maintained stats table (U2 overwrite analog). The
+        # TWO tables fence the same epoch independently, which is what makes
+        # the pair exactly-once without a cross-table transaction: a crash
+        # BETWEEN the two commits replays the epoch, the merge is a fence
+        # no-op, and the stats refresh (not yet fenced) recomputes from the
+        # already-merged table state — converging to the same result.
+        self.stats_table = stats_table
 
     def _apply(self, batch_df: DataFrame, epoch_id: int) -> None:
         if self.fail_injector is not None:
@@ -125,6 +133,18 @@ class CdcStream:
             self.fail_injector(epoch_id, "after_merge")
         if self.auto_compact_files is not None and result.applied:
             self.table.compact(min_files_per_bucket=self.auto_compact_files)
+        if self.stats_table is not None and not self.stats_table.has_fence(epoch_id):
+            from battetl_spark.cdc.stats_maintenance import refresh_stats
+
+            # touched keys come from the raw batch (NOT from result.applied:
+            # after a crash between the two commits the merge replays as a
+            # fence no-op but the stats refresh must still run)
+            refresh_stats(
+                self.table,
+                self.stats_table,
+                batch_df.select("conv_id").distinct(),
+                epoch_id=epoch_id,
+            )
         if self.metrics_dir is not None and result.applied and result.lineage:
             from datetime import datetime
 

@@ -224,3 +224,46 @@ def test_metrics_table_lineage_per_batch(spark, tmp_path, base_pdf, events_pdf):
     # reconciles with the snapshot-embedded lineage
     snap_lineage = t.lineage_df()
     assert snap_lineage.count() == m.count()
+
+
+def test_two_table_exactly_once_stats_catchup_after_crash(
+    spark, tmp_path, base_pdf, events_pdf, expected
+):
+    """Transcripts + incrementally-maintained stats fence the same epoch
+    independently: a crash BETWEEN the two commits (after merge, before
+    stats refresh) replays the epoch — the merge is a fence no-op, the
+    stats refresh still runs — and the final stats equal a full recompute
+    from the final table."""
+    from battetl_spark.analytics.rollups import conversation_stats
+    from battetl_spark.cdc.stats_maintenance import create_stats_table, refresh_stats
+
+    src = str(tmp_path / "events-2t")
+    write_event_files(spark, events_pdf, src, k=5)
+    t = seeded(spark, str(tmp_path / "table-2t"), base_pdf)
+    stats = create_stats_table(spark, str(tmp_path / "stats-2t"), num_buckets=4)
+    refresh_stats(t, stats, t.scan().select("conv_id").distinct(), epoch_id=-100)
+    ckpt = str(tmp_path / "ckpt-2t")
+
+    crashed = {"done": False}
+
+    def injector(epoch_id, phase):
+        # crash exactly between the transcripts commit and the stats commit
+        if epoch_id == 2 and phase == "after_merge" and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash between the two table commits")
+
+    stream = CdcStream(t, ckpt, stats_table=stats, fail_injector=injector)
+    with pytest.raises(Exception):
+        stream.run_to_completion(read_change_event_stream(spark, src))
+    assert crashed["done"]
+    assert t.has_fence(2) and not stats.has_fence(2)  # the dangerous gap
+
+    stream2 = CdcStream(t, ckpt, stats_table=stats)
+    stream2.run_to_completion(read_change_event_stream(spark, src))
+    assert_pdf_equal(state(t), expected, KEY_COLS)
+    assert all(stats.has_fence(e) for e in range(5))
+
+    cols = [f.name for f in stats.schema.fields if not f.name.startswith("_")]
+    got = stats.scan().orderBy("conv_id").toPandas()[cols].reset_index(drop=True)
+    full = conversation_stats(t.scan()).toPandas()[cols].reset_index(drop=True)
+    assert_pdf_equal(got, full, ["conv_id"])
