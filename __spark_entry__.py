@@ -510,6 +510,18 @@ def q_ann_lsh_topk(spark, sf):
 # --------------------------------------------------------------------------
 
 
+def q_corpus_clean(spark, sf):
+    """The composed training-data cleaning pipeline: language filter →
+    quality filter → exact dedup → exact-verified near-dup dedup. Every
+    stage reuses an oracle-green operator, so the whole pipeline is
+    oracle-verified end-to-end."""
+    from battetl_spark.analytics.textops import clean_corpus
+
+    return clean_corpus(
+        _t(spark, sf, "documents"), min_quality=0.5, langs=("en", "de")
+    )
+
+
 def q_ann_ivf_topk(spark, sf):
     """IVF-style ANN: label-cell coarse quantizer, nprobe=2, exact re-rank
     inside probed cells. Centroids are rounded per-dim means → the full
@@ -561,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": q_doc_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_bpe_tokens": q_doc_bpe_tokens,
+        "corpus_clean": q_corpus_clean,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_minhash_dedup": q_doc_minhash_dedup,
         "doc_simhash": q_doc_simhash,
@@ -967,6 +980,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, cos_sim, rank::INT AS rank
             FROM ranked WHERE rank <= 10
+        """,
+        "corpus_clean": rf"""
+            WITH f AS (
+              SELECT doc_id, lang, text,
+                     length(text) AS n_chars,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                     length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                       AS n_punct,
+                     len(regexp_extract_all(lower(text), '{stop}')) AS n_stop,
+                     length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace
+              FROM documents WHERE lang IN ('en', 'de')
+            ),
+            scored AS (
+              SELECT doc_id, lang, text,
+                     round(
+                       least(n_tokens / 64.0, 1.0) * 0.4
+                       + least((n_stop / greatest(n_tokens, 1)) * 4.0, 1.0) * 0.3
+                       + (1.0 - least((n_punct / greatest(n_chars, 1)) * 10.0,
+                                      1.0)) * 0.2
+                       + (CASE WHEN n_nospace / greatest(n_tokens, 1)
+                          BETWEEN 3 AND 8 THEN 0.1 ELSE 0.0 END), 6) AS q_score
+              FROM f
+            ),
+            filtered AS (SELECT * FROM scored WHERE q_score >= 0.5),
+            winners AS (
+              SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5(text)
+            ),
+            kept AS (SELECT s.* FROM filtered s JOIN winners USING (doc_id)),
+            norm AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+              FROM kept
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, greatest(len(w) - 2, 1) + 1),
+                         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+              FROM norm
+            ),
+            losers AS (
+              SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s)) * 1.0
+                    / len(list_distinct(a.s || b.s)) >= 0.8
+            )
+            SELECT k.doc_id, k.lang, k.q_score
+            FROM kept k LEFT JOIN losers l ON k.doc_id = l.doc_id
+            WHERE l.doc_id IS NULL
         """,
         "ann_ivf_topk": """
             WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v

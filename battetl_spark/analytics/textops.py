@@ -412,6 +412,59 @@ def ngram_jaccard_pairs(
     return _exact_jaccard_over(cand, with_sh, id_col, threshold)
 
 
+# -------------------------------------------------------- cleaning pipeline
+
+def clean_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    lang_col: str = "lang",
+    near_dup_threshold: float = 0.8,
+) -> DataFrame:
+    """The composed training-data cleaning pipeline (the thing the component
+    operators exist for): metadata language filter → quality-score filter →
+    exact dedup (min-id winner) → near-dup dedup (drop the larger id of each
+    verified pair). Returns the surviving documents with their scores.
+
+    Every stage is one of the oracle-verified operators, so the WHOLE
+    pipeline is oracle-verifiable end-to-end. Deterministic keep rule: a doc
+    is dropped iff it is an exact-dup non-winner or appears as id_b of a
+    verified near-dup pair among the filtered survivors (min-id docs always
+    survive; no connected-components pass — the simple rule is what scales
+    to one groupBy + one anti-join at 10^9 docs)."""
+    q = quality_features(docs.filter(F.col(lang_col).isin(*langs)), text_col)
+    # both engines filter the ROUNDED score (the oracle-matched value), so
+    # the boundary decision is identical on both sides
+    filtered = q.filter(F.col("q_score") >= min_quality).select(
+        id_col, lang_col, "q_score"
+    )
+    base = docs.join(filtered.select(id_col), id_col)
+    winners = exact_dedup(base, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    kept = base.join(winners, id_col)
+    losers = (
+        minhash_lsh_pairs(
+            kept,
+            id_col,
+            text_col,
+            num_hashes=32,
+            jaccard_threshold=near_dup_threshold,
+            rows_per_band=2,
+            verify="exact",
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        kept.join(losers, id_col, "left_anti")
+        .join(filtered, [id_col, lang_col])
+        .select(id_col, lang_col, "q_score")
+    )
+
+
 # ------------------------------------------------------------------ simhash
 
 _HEX = "0123456789abcdef"

@@ -303,3 +303,23 @@ def test_embedding_near_dup_pairs(spark, emb):
     assert (out.cos_sim >= 0.9).all()
     # clean corpus: no pair is near-dup at 0.9
     assert embedding_near_dup_pairs(emb, dim=64, threshold=0.9).count() == 0
+
+
+def test_clean_corpus_pipeline(spark, docs):
+    """Composed cleaner: planted exact dups and near-dups are removed (min-id
+    survives), low-quality and off-language docs filtered, survivors carry
+    their scores."""
+    exact_dup = docs.limit(2).withColumn("doc_id", F.col("doc_id") + 600_000)
+    near_dup = (
+        docs.orderBy("doc_id").limit(2)
+        .withColumn("doc_id", F.col("doc_id") + 700_000)
+        .withColumn("text", F.concat("text", F.lit(" tail")))
+    )
+    corpus = docs.unionByName(exact_dup).unionByName(near_dup)
+    langs = tuple(r.lang for r in docs.select("lang").distinct().collect())
+    out = TX.clean_corpus(corpus, min_quality=0.0, langs=langs).toPandas()
+    assert (out.doc_id < 600_000).all()  # every planted dup dropped
+    assert out.q_score.between(0, 1).all()
+    # strict quality threshold prunes further
+    strict = TX.clean_corpus(corpus, min_quality=0.7, langs=langs)
+    assert strict.count() < len(out)
