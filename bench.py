@@ -87,6 +87,7 @@ ANALYTIC_QUERIES = [
     "doc_fingerprint",
     "doc_minhash_dedup",
     "doc_simhash",
+    "corpus_clean",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
