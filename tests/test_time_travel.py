@@ -51,3 +51,44 @@ def test_time_travel_and_rollback(spark, tmp_path):
     # rollback is itself undoable (roll forward to v_after)
     t.rollback(v_after)
     assert_pdf_equal(state(t), after_state, KEY_COLS)
+
+
+def test_changes_between_cdf(spark, tmp_path):
+    """Change-data-feed: the diff between two snapshots equals a brute-force
+    comparison of the two time-travel states, classifies insert/update/
+    delete, and scans only changed buckets."""
+    import pandas as pd
+
+    from battetl_spark import fixtures as FX
+    from battetl_spark.cdc import merge_apply
+    from battetl_spark.lake import LakeTable
+    from battetl_spark.schemas import KEY_COLS, TRANSCRIPT_TABLE_SCHEMA
+
+    base = FX.make_transcripts(seed=51, n_convs=30, max_turns=6)
+    ev = FX.make_change_events(seed=52, n_events=1500, n_convs=35, max_turns=6)
+    t = LakeTable.create(spark, str(tmp_path / "cdf"), TRANSCRIPT_TABLE_SCHEMA,
+                         num_buckets=8, key_cols=KEY_COLS, sort_cols=KEY_COLS)
+    t.append(FX.table_rows_df(spark, base))
+    v0 = t.snapshot()["version"]
+    merge_apply(t, FX.change_events_df(spark, ev), epoch_id=1)
+
+    cdf = t.changes_between(v0).toPandas()
+    assert set(cdf._change_type.unique()) <= {"insert", "update", "delete"}
+    assert len(cdf) > 0
+
+    old = t.scan_at(v0).toPandas().set_index(["conv_id", "turn_idx"])
+    new = t.scan().toPandas().set_index(["conv_id", "turn_idx"])
+    exp_ins = set(new.index) - set(old.index)
+    exp_del = set(old.index) - set(new.index)
+    both = set(new.index) & set(old.index)
+    exp_upd = {k for k in both if new.loc[k, "_last_lsn"] > old.loc[k, "_last_lsn"]}
+
+    got = cdf.set_index(["conv_id", "turn_idx"])
+    assert set(got[got._change_type == "insert"].index) == exp_ins
+    assert set(got[got._change_type == "update"].index) == exp_upd
+    assert set(got[got._change_type == "delete"].index) == exp_del
+    # delete rows surface the tombstone, not stale payload
+    assert got[got._change_type == "delete"]["text"].isna().all()
+    # v-to-same-v diff is empty
+    v1 = t.snapshot()["version"]
+    assert t.changes_between(v1, v1).count() == 0
