@@ -204,7 +204,7 @@ def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
                         "duration_ms": dur,
                     }
                 )
-            yield pd.DataFrame(rows)[[f.name for f in MEDIA_SCHEMA.fields]]
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return base.mapInPandas(gen, MEDIA_SCHEMA)
 
@@ -298,20 +298,19 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     return media.mapInPandas(run, MEDIA_SCHEMA)
 
 
+def _frame_times(every_ms: int):
+    return F.sequence(
+        F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms)
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per planned frame timestamp —
-    pure Catalyst sequence explode (no payload touched)."""
+    pure Catalyst sequence explode. Metadata only (no payload column), so
+    the explode never replicates payload bytes."""
     return (
         media.filter(F.col("kind") == "video")
-        .select(
-            "media_id",
-            "payload",
-            F.explode(
-                F.sequence(
-                    F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms)
-                )
-            ).alias("frame_ms"),
-        )
+        .select("media_id", F.explode(_frame_times(every_ms)).alias("frame_ms"))
     )
 
 
@@ -327,26 +326,36 @@ FRAME_SCHEMA = T.StructType(
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Execute the frame-sampling plan: decode ONLY the planned frames (the
-    VID0 container is seekable; unselected frames are skipped byte-wise)."""
-    plan = frame_sample_plan(media, every_ms)
+    VID0 container is seekable; unselected frames are skipped byte-wise).
+
+    The frame-time list stays an ARRAY column until inside the Python
+    worker, so each video's payload crosses the Arrow boundary exactly once
+    (a payload-carrying explode would replicate the bytes per frame row)."""
+    plan = media.filter(F.col("kind") == "video").select(
+        "media_id", "payload", _frame_times(every_ms).alias("frame_mss")
+    )
+    cols = [f.name for f in FRAME_SCHEMA.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
-            for mid, payload, ms in zip(b["media_id"], b["payload"], b["frame_ms"]):
+            for mid, payload, mss in zip(b["media_id"], b["payload"], b["frame_mss"]):
                 n, fps = video_frame_count(payload)
-                idx = min(int(ms * fps // 1000), n - 1)
-                frame = decode_video_frame(payload, idx)
-                rows.append(
-                    {
-                        "media_id": int(mid),
-                        "frame_ms": int(ms),
-                        "frame_idx": idx,
-                        "mean_rgb": (frame.reshape(-1, 3).mean(axis=0) / 255.0)
-                        .astype(np.float32)
-                        .tolist(),
-                    }
-                )
-            yield pd.DataFrame(rows)[[f.name for f in FRAME_SCHEMA.fields]]
+                for ms in mss:
+                    idx = min(int(ms * fps // 1000), n - 1)
+                    frame = decode_video_frame(payload, idx)
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_ms": int(ms),
+                            "frame_idx": idx,
+                            "mean_rgb": (frame.reshape(-1, 3).mean(axis=0) / 255.0)
+                            .astype(np.float32)
+                            .tolist(),
+                        }
+                    )
+            # explicit columns: a zero-row Arrow batch must still carry the
+            # output schema (pd.DataFrame([]) has no columns to select)
+            yield pd.DataFrame(rows, columns=cols)
 
     return plan.mapInPandas(run, FRAME_SCHEMA)

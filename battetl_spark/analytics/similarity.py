@@ -270,6 +270,26 @@ def embedding_near_dup_pairs(
     )
 
 
+def _nearest_cell_expr(vec_col, centroids: list[list[float]]):
+    """Per-row argmin over LITERAL centroid arrays: build one (dist, cell)
+    struct per centroid and take array_min — lexicographic struct ordering
+    gives min distance with smallest-cell tiebreak. Entirely map-side; each
+    centroid's distance is evaluated exactly once (``vec_col`` must be a
+    plain column reference so Catalyst doesn't re-expand a complex child),
+    plan size linear in n_cells × dim (same literal-array discipline as
+    ``lsh_bucket``)."""
+    entries = []
+    for i, cent in enumerate(centroids):
+        c = F.array(*[F.lit(float(x)) for x in cent])
+        d = F.aggregate(
+            F.zip_with(vec_col, c, lambda x, cc: (x - cc) * (x - cc)),
+            F.lit(0.0),
+            lambda acc, dd: acc + dd,
+        )
+        entries.append(F.struct(d.alias("d"), F.lit(i).alias("cell")))
+    return F.array_min(F.array(*entries))["cell"]
+
+
 def train_kmeans_cells(
     vectors: DataFrame,
     dim: int,
@@ -283,12 +303,12 @@ def train_kmeans_cells(
 
     Deterministic: seeds are the vectors with the n_cells smallest
     xxhash64(id) values; a fixed iteration count; centroid components are
-    per-dim means rounded to 6. Each iteration is ONE Spark job: assignment
-    is a broadcast join against the (tiny) centroid table + min_by, new
-    centroids are a map-side-combinable groupBy — the corpus never shuffles
-    by anything but its n_cells-key assignment, and only n_cells×dim floats
-    ever reach the driver."""
-    spark = vectors.sparkSession
+    per-dim means rounded to 6. Each iteration is ONE Spark job and the
+    assignment is MAP-ONLY: the per-row argmin folds over literal centroid
+    arrays inside a single expression (no crossJoin ×n_cells expansion, no
+    payload shuffle by the high-cardinality id). The only shuffle per
+    iteration is the tiny-key, map-side-combinable groupBy("cell") for the
+    new centroids, and only n_cells×dim floats ever reach the driver."""
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
@@ -300,25 +320,14 @@ def train_kmeans_cells(
         .collect()
     )
     centroids = [list(r["__v"]) for r in seeds]
+    # tiny corpora: fewer distinct seed vectors than requested cells
+    n_cells = min(n_cells, len(centroids))
+    if n_cells == 0:
+        raise ValueError("train_kmeans_cells: empty corpus")
+    centroids = centroids[:n_cells]
     for _ in range(iters):
-        cdf = F.broadcast(
-            spark.createDataFrame(
-                [(i, c) for i, c in enumerate(centroids)], ["cell", "__c"]
-            )
-        )
-        dist = F.aggregate(
-            F.zip_with("__v", "__c", lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
-        )
-        assigned = (
-            v.crossJoin(cdf)
-            .select(id_col, "__v", "cell", dist.alias("__d"))
-            .groupBy(id_col)
-            .agg(
-                F.min_by("cell", F.struct("__d", "cell")).alias("cell"),
-                F.first("__v").alias("__v"),
-            )
+        assigned = v.select(
+            F.col("__v"), _nearest_cell_expr(F.col("__v"), centroids).alias("cell")
         )
         rows = (
             assigned.groupBy("cell")
@@ -340,27 +349,14 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, cell) assignment against trained centroids — broadcast join +
-    min_by, no corpus shuffle."""
-    spark = vectors.sparkSession
-    cdf = F.broadcast(
-        spark.createDataFrame(
-            [(i, c) for i, c in enumerate(centroids)], ["cell", "__c"]
-        )
-    )
+    """(id, cell) assignment against trained centroids — map-only per-row
+    argmin over literal centroid arrays; ZERO shuffle (plan-pinned by
+    test_kmeans_assignment_map_only)."""
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
-    dist = F.aggregate(
-        F.zip_with("__v", "__c", lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, d: acc + d,
-    )
-    return (
-        v.crossJoin(cdf)
-        .select(id_col, "cell", dist.alias("__d"))
-        .groupBy(id_col)
-        .agg(F.min_by("cell", F.struct("__d", "cell")).alias("cell"))
+    return v.select(
+        F.col(id_col), _nearest_cell_expr(F.col("__v"), centroids).alias("cell")
     )
 
 

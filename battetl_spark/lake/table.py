@@ -418,22 +418,19 @@ class LakeTable:
         table bytes."""
         old_snap = self.snapshot_at(v_from)
         new_snap = self.snapshot() if v_to is None else self.snapshot_at(v_to)
-        changed = sorted(
-            int(b)
-            for b in set(old_snap["files"]) | set(new_snap["files"])
-            if old_snap["files"].get(b) != new_snap["files"].get(b)
-        )
-        key_cols = new_snap["key_cols"]
-        if not changed or not key_cols:
-            return self.spark.createDataFrame(
-                [], T.StructType(
-                    list(T.StructType.fromJson(new_snap["schema"]).fields)
-                    + [T.StructField("_change_type", T.StringType(), False)]
-                )
-            )
+
+        # validation FIRST: a non-CDC table must raise loudly regardless of
+        # whether any bucket changed (an append-only table with real changes
+        # must never silently return an empty feed)
         def names(snap):
             return {f["name"] for f in snap["schema"]["fields"]}
 
+        key_cols = new_snap["key_cols"]
+        if not key_cols:
+            raise ValueError(
+                "changes_between requires a keyed CDC table (key_cols is "
+                "empty); append-only tables have no row identity to diff on"
+            )
         for snap, v in ((old_snap, v_from), (new_snap, v_to)):
             if LAST_LSN_COL not in names(snap):
                 raise ValueError(
@@ -441,6 +438,19 @@ class LakeTable:
                     f"column at version {v}); append-only tables have no row "
                     "version to diff on"
                 )
+
+        changed = sorted(
+            int(b)
+            for b in set(old_snap["files"]) | set(new_snap["files"])
+            if old_snap["files"].get(b) != new_snap["files"].get(b)
+        )
+        if not changed:
+            return self.spark.createDataFrame(
+                [], T.StructType(
+                    list(T.StructType.fromJson(new_snap["schema"]).fields)
+                    + [T.StructField("_change_type", T.StringType(), False)]
+                )
+            )
 
         def dead_expr(snap):
             if DELETED_COL in names(snap):

@@ -118,6 +118,27 @@ def test_no_global_sort_in_incremental_maintenance_path(spark):
     assert "rangepartitioning" not in p.lower()
 
 
+def test_kmeans_assignment_map_only(spark):
+    """Round-2 verdict fix: k-means assignment must be a per-row argmin over
+    literal centroids — ZERO shuffle (no Exchange at all in the assignment
+    plan), not a crossJoin×n_cells + groupBy(id) payload shuffle."""
+    from battetl_spark.analytics.similarity import assign_cells
+
+    df = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)), lambda j: (j * 0.1).cast("double")
+        ).alias("embedding"),
+    )
+    centroids = [[0.1 * j + 0.01 * c for j in range(8)] for c in range(4)]
+    out = assign_cells(df, centroids)
+    p = plan(out, "simple")
+    assert "Exchange" not in p, "assignment must be map-only"
+    assert "Join" not in p, "assignment must not join the corpus"
+    rows = out.collect()
+    assert len(rows) == 64 and all(0 <= r.cell < 4 for r in rows)
+
+
 def test_textops_plan_shapes(spark):
     """The near-dup/ANN operators' scale claims, visible in the plan:
     map-side partial aggregation for signature builds, column-pruned scans
