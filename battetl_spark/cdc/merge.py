@@ -49,6 +49,10 @@ class MergeResult:
     rows_deleted: int = 0
     buckets_rewritten: list[int] = field(default_factory=list)
     lineage: list[dict] = field(default_factory=list)  # per-source-partition
+    # CommitConflict rebases absorbed before this merge committed — operators
+    # of a multi-writer deployment watch this for contention (also recorded
+    # per lineage row, so the metrics feed carries it)
+    rebases: int = 0
 
 
 def _incoming_table_schema(events: DataFrame) -> T.StructType:
@@ -95,11 +99,12 @@ def merge_apply(
     from battetl_spark.lake.table import CommitConflict
 
     last: CommitConflict | None = None
-    for _ in range(conflict_retries + 1):
+    for attempt in range(conflict_retries + 1):
         try:
             return _merge_apply_once(
                 table, events, epoch_id, key_cols, dedup_strategy,
                 salt_buckets, collect_lineage, target_partitions,
+                rebases=attempt,
             )
         except CommitConflict as e:
             last = e  # rebase: everything below re-derives from a fresh snapshot
@@ -115,6 +120,7 @@ def _merge_apply_once(
     salt_buckets: int,
     collect_lineage: bool,
     target_partitions: int | None,
+    rebases: int = 0,
 ) -> MergeResult:
     key_cols = key_cols or KEY_COLS
     if epoch_id is not None and table.has_fence(epoch_id):
@@ -235,6 +241,7 @@ def _merge_apply_once(
                         "rows_inserted": changes.get((sp, "inserted"), 0),
                         "rows_updated": changes.get((sp, "updated"), 0),
                         "rows_deleted": changes.get((sp, "deleted"), 0),
+                        "rebases": rebases,
                         "committed_at": now,
                     }
                 )
@@ -288,6 +295,7 @@ def _merge_apply_once(
             lineage=[
                 {**r, "snapshot_id": new_snap["snapshot_id"]} for r in lineage_rows
             ],
+            rebases=rebases,
         )
     finally:
         if persisted is not None:

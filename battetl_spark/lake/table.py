@@ -27,6 +27,11 @@ metadata, O(1) commit):
 - **Lineage**: per-commit row counts / lsn ranges / snapshot id stored in the
   snapshot and queryable as a DataFrame (reference analog: post-load meta
   refresh Loader.py:1245-1281).
+- **Zone maps**: each file entry carries per-file min/max stats for the lsn /
+  tombstone / event-time / sort-lead columns, harvested from the parquet
+  footers at write time. ``scan(filters=...)`` skips files whose range can't
+  match, and ``vacuum_tombstones`` rewrites only buckets that may hold a
+  qualifying tombstone (Iceberg-manifest / Delta-add-file-stats analog).
 
 Scale notes: metadata is O(num_buckets + files), independent of row count.
 On a real deployment the JSON pointer swap would live on a consistent store
@@ -56,6 +61,113 @@ BUCKET_COL = "__bucket"
 LAST_LSN_COL = "_last_lsn"  # row-version column (same name as schemas.py —
 DELETED_COL = "_deleted"    # defined here too to avoid a circular import)
 _HINT = "version-hint.txt"
+
+# ---------------------------------------------------------------- zone maps
+# Per-file min/max column statistics ("zone maps") harvested from the parquet
+# footers at write time and stored on each snapshot file entry. They are what
+# real lakehouse formats (Iceberg manifests, Delta add-file stats) carry so a
+# predicate can skip whole files without opening them — the last big
+# read-amplification lever beyond bucket pruning (reference analog: the DB
+# index that served the watermark point-lookup, Loader.py:1090-1100).
+
+
+def _stat_jsonable(v):
+    """Footer stat value → JSON-storable comparable, or None if the type
+    isn't safely comparable across the JSON round-trip (binary, decimal)."""
+    if isinstance(v, bool) or isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, datetime):
+        # naive isoformat is zero-padded → lexicographic order == time order
+        return v.replace(tzinfo=None).isoformat()
+    if hasattr(v, "isoformat"):  # date
+        return v.isoformat()
+    return None
+
+
+def _harvest_file_stats(path: str, cols: list[str]) -> dict:
+    """{col: {"min": v, "max": v}} aggregated over a parquet file's row-group
+    footer statistics. A column missing stats in ANY row group is dropped
+    entirely (conservative: no stats → file is never skipped). Driver-side
+    here because the sandbox writes local files; on a real deployment the
+    write tasks return these in their commit messages — same protocol."""
+    import pyarrow.parquet as pq
+
+    agg: dict[str, dict] = {}
+    bad: set[str] = set()
+    md = pq.ParquetFile(path).metadata
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for ci in range(rg.num_columns):
+            col = rg.column(ci)
+            name = col.path_in_schema
+            if name not in cols or name in bad:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                bad.add(name)
+                agg.pop(name, None)
+                continue
+            mn, mx = _stat_jsonable(st.min), _stat_jsonable(st.max)
+            if mn is None or mx is None:
+                bad.add(name)
+                agg.pop(name, None)
+                continue
+            cur = agg.get(name)
+            if cur is None:
+                agg[name] = {"min": mn, "max": mx}
+            else:
+                cur["min"] = min(cur["min"], mn)
+                cur["max"] = max(cur["max"], mx)
+    return agg
+
+
+def _norm_filter_value(val, stat_sample):
+    """Filter literal → the stat's comparison domain (datetime literals vs
+    isoformat-string stats); None when the types aren't comparable (then the
+    file is conservatively kept)."""
+    if isinstance(stat_sample, str):
+        if isinstance(val, datetime):
+            return val.replace(tzinfo=None).isoformat()
+        return val if isinstance(val, str) else None
+    if isinstance(stat_sample, bool):
+        return val if isinstance(val, bool) else None
+    if isinstance(stat_sample, (int, float)):
+        return val if isinstance(val, (int, float)) and not isinstance(val, bool) else None
+    return None
+
+
+def _file_may_match(entry: dict, filters) -> bool:
+    """Can this file contain a row satisfying ALL (col, op, value) filters,
+    judging only by its zone-map stats? Missing stats → True (never skip on
+    ignorance)."""
+    stats = entry.get("stats") or {}
+    for col, op, val in filters:
+        s = stats.get(col)
+        if not s:
+            continue
+        v = _norm_filter_value(val, s["min"])
+        if v is None:
+            continue
+        mn, mx = s["min"], s["max"]
+        if (
+            (op == ">" and not mx > v)
+            or (op == ">=" and not mx >= v)
+            or (op == "<" and not mn < v)
+            or (op == "<=" and not mn <= v)
+            or (op in ("=", "==") and not mn <= v <= mx)
+        ):
+            return False
+    return True
+
+
+_FILTER_OPS = {
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    "=": lambda c, v: c == v,
+    "==": lambda c, v: c == v,
+}
 
 
 class CommitConflict(Exception):
@@ -193,6 +305,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         snap: dict | None = None,
         include_deleted: bool = False,
+        filters: list[tuple] | None = None,
     ) -> DataFrame:
         """Read current rows (optionally only the given buckets), harmonized
         to the current schema. Missing columns in old files → NULL; widened
@@ -200,7 +313,15 @@ class LakeTable:
         the exact written schema (no cross-file type confusion).
 
         Tombstone rows (``_deleted = true``) are filtered unless
-        ``include_deleted`` — merge reads them for late-event fencing."""
+        ``include_deleted`` — merge reads them for late-event fencing.
+
+        ``filters`` is a list of ``(col, op, value)`` with op in
+        ``> >= < <= =``: each is applied BOTH as zone-map file skipping
+        (files whose per-file min/max range cannot satisfy every predicate
+        are never opened — read cost ∝ qualifying-file bytes) AND as a row
+        filter, so the semantics are exact regardless of which files carry
+        stats. A ``ts``- or ``_last_lsn``-bounded scan of a 100 TB table
+        touches only the files whose range overlaps."""
         snap = snap or self.snapshot()
         cur_schema = T.StructType.fromJson(snap["schema"])
         wanted = (
@@ -208,9 +329,14 @@ class LakeTable:
             if buckets is None
             else ((str(b), snap["files"].get(str(b), [])) for b in buckets)
         )
+        for col, op, _ in filters or []:
+            if op not in _FILTER_OPS:
+                raise ValueError(f"unsupported filter op {op!r} on {col!r}")
         by_schema: dict[str, list[str]] = {}
         for _, entries in wanted:
             for e in entries:
+                if filters and not _file_may_match(e, filters):
+                    continue  # zone-map skip: range proves no row matches
                 by_schema.setdefault(e["schema_id"], []).append(
                     os.path.join(self.path, e["path"])
                 )
@@ -231,6 +357,12 @@ class LakeTable:
         field_names = {f.name for f in cur_schema.fields}
         if not include_deleted and "_deleted" in field_names:
             out = out.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        ftypes = {f.name: f.dataType for f in cur_schema.fields}
+        for col, op, val in filters or []:
+            lit = F.lit(val)
+            if col in ftypes:
+                lit = lit.cast(ftypes[col])  # e.g. datetime literal vs ntz col
+            out = out.filter(_FILTER_OPS[op](F.col(col), lit))
         return out
 
     def to_df(self) -> DataFrame:
@@ -274,12 +406,27 @@ class LakeTable:
         if sort_cols:
             w = w.sortWithinPartitions(BUCKET_COL, *sort_cols)
         w.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(out)
-        files: dict[str, list[str]] = {}
+        stat_cols = self._stats_cols(snap, df.columns)
+        files: dict[str, list[dict]] = {}
         for p in glob.glob(os.path.join(out, f"{BUCKET_COL}=*", "*.parquet")):
             b = os.path.basename(os.path.dirname(p)).split("=", 1)[1]
             rel = os.path.relpath(p, self.path)
-            files.setdefault(b, []).append(rel)
+            entry = {"path": rel}
+            if stat_cols:
+                stats = _harvest_file_stats(p, stat_cols)
+                if stats:
+                    entry["stats"] = stats
+            files.setdefault(b, []).append(entry)
         return files
+
+    def _stats_cols(self, snap: dict, df_cols: list[str]) -> list[str]:
+        """Columns to zone-map: the row-version lsn, the tombstone flag, the
+        event-time column, and the sort-lead key (plus any extras from the
+        ``stats_cols`` table property)."""
+        lead = (snap.get("sort_cols") or [None])[0]
+        cand = {LAST_LSN_COL, DELETED_COL, "ts", lead}
+        cand |= set(snap.get("properties", {}).get("stats_cols", []) or [])
+        return sorted(c for c in cand if c and c in df_cols and c != BUCKET_COL)
 
     def replace_buckets(
         self,
@@ -330,12 +477,12 @@ class LakeTable:
                         )
             for b in replaced:
                 snap["files"][str(b)] = [
-                    {"path": p, "schema_id": sid} for p in new_files.get(str(b), [])
+                    {**e, "schema_id": sid} for e in new_files.get(str(b), [])
                 ]
-            for b_str, paths in new_files.items():
+            for b_str, entries in new_files.items():
                 if int(b_str) not in replaced:  # defensive: stray bucket → append
                     snap["files"][b_str] = snap["files"].get(b_str, []) + [
-                        {"path": p, "schema_id": sid} for p in paths
+                        {**e, "schema_id": sid} for e in entries
                     ]
             if fence is not None:
                 snap["fences"][str(fence["epoch_id"])] = {
@@ -357,9 +504,9 @@ class LakeTable:
         new_files = self._write_data(df.withColumn(BUCKET_COL, bexpr))
 
         def mutate(s):
-            for b_str, paths in new_files.items():
+            for b_str, new_entries in new_files.items():
                 entries = [
-                    {"path": p, "schema_id": s["current_schema_id"]} for p in paths
+                    {**e, "schema_id": s["current_schema_id"]} for e in new_entries
                 ]
                 s["files"][b_str] = s["files"].get(b_str, []) + entries
             s["lineage"] = lineage or []
@@ -521,21 +668,40 @@ class LakeTable:
     def vacuum_tombstones(self, below_lsn: int) -> dict | None:
         """Drop tombstones with _last_lsn < below_lsn (older than the
         source's max reorder horizon — late events below this LSN can no
-        longer arrive, so the fence rows are dead weight)."""
+        longer arrive, so the fence rows are dead weight).
+
+        Zone-map pruned: a bucket is rewritten only if at least one of its
+        files MAY hold a qualifying tombstone (file stats show
+        max(_deleted) = true AND min(_last_lsn) < below_lsn). Buckets whose
+        every file provably has no qualifying tombstone carry forward
+        untouched — maintenance cost ∝ qualifying-bucket bytes, not table
+        bytes. Files without stats are conservatively rewritten."""
         snap = self.snapshot()
         if "_deleted" not in {f.name for f in self.schema.fields}:
             return None
-        all_buckets = [int(b) for b in snap["files"]]
-        if not all_buckets:
+
+        def may_qualify(entry: dict) -> bool:
+            stats = entry.get("stats") or {}
+            d, l = stats.get(DELETED_COL), stats.get(LAST_LSN_COL)
+            has_tombstone = d is None or bool(d["max"])
+            old_enough = l is None or l["min"] < below_lsn
+            return has_tombstone and old_enough
+
+        buckets = sorted(
+            int(b)
+            for b, entries in snap["files"].items()
+            if any(may_qualify(e) for e in entries)
+        )
+        if not buckets:
             return None
-        rows = self.scan(all_buckets, snap, include_deleted=True)
+        rows = self.scan(buckets, snap, include_deleted=True)
         kept = rows.filter(
             ~(
                 F.coalesce(F.col("_deleted"), F.lit(False))
                 & (F.col("_last_lsn") < F.lit(below_lsn))
             )
         ).withColumn(BUCKET_COL, bucket_expr(snap["bucket_key"], snap["num_buckets"]))
-        return self.replace_buckets(kept, all_buckets, base_snapshot=snap)
+        return self.replace_buckets(kept, buckets, base_snapshot=snap)
 
     def vacuum_files(self, keep_snapshots: int = 2) -> list[str]:
         """Delete data files referenced by NO retained snapshot and drop
@@ -576,6 +742,7 @@ class LakeTable:
                 r = dict(r)
                 r["snapshot_id"] = snap["snapshot_id"]
                 r["committed_at"] = datetime.fromisoformat(r["committed_at"])
+                r.setdefault("rebases", 0)  # rows from pre-rebase-metric snaps
                 rows.append(r)
         if not rows:
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)

@@ -66,6 +66,9 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("rows_inserted", T.LongType(), False),
         T.StructField("rows_updated", T.LongType(), False),
         T.StructField("rows_deleted", T.LongType(), False),
+        # CommitConflict rebases this merge absorbed before committing —
+        # visibility into multi-writer contention (0 = clean first attempt)
+        T.StructField("rebases", T.LongType(), False),
         T.StructField("snapshot_id", T.LongType(), False),
         T.StructField("committed_at", T.TimestampNTZType(), False),
     ]

@@ -145,22 +145,73 @@ class CdcStream:
                 batch_df.select("conv_id").distinct(),
                 epoch_id=epoch_id,
             )
-        if self.metrics_dir is not None and result.applied and result.lineage:
-            from datetime import datetime
+        if self.metrics_dir is not None:
+            rows = result.lineage if result.applied else []
+            if (
+                not result.applied
+                and self.collect_lineage
+                and self.table.has_fence(epoch_id)
+                and not self._metrics_epoch_present(batch_df.sparkSession, epoch_id)
+            ):
+                # heal the at-most-once gap: a crash between the merge commit
+                # and the metrics append leaves a fenced epoch with no metrics
+                # row, and the replayed merge (applied=False) carries no
+                # lineage. Recover the epoch's lineage from the
+                # snapshot-embedded copy and append it exactly once (guarded
+                # by the lacks-this-epoch check above).
+                rows = self._lineage_rows_for_epoch(epoch_id)
+            if rows:
+                from datetime import datetime
 
-            from battetl_spark.schemas import LINEAGE_SCHEMA
+                from battetl_spark.schemas import LINEAGE_SCHEMA
 
-            spark = batch_df.sparkSession
-            rows = [
-                {**r, "committed_at": datetime.fromisoformat(r["committed_at"])}
-                for r in result.lineage
-            ]
-            spark.createDataFrame(
-                [tuple(r[f.name] for f in LINEAGE_SCHEMA.fields) for r in rows],
-                LINEAGE_SCHEMA,
-            ).coalesce(1).write.mode("append").parquet(self.metrics_dir)
+                spark = batch_df.sparkSession
+                rows = [
+                    {
+                        **r,
+                        "rebases": r.get("rebases", 0),
+                        "committed_at": datetime.fromisoformat(r["committed_at"]),
+                    }
+                    for r in rows
+                ]
+                spark.createDataFrame(
+                    [tuple(r[f.name] for f in LINEAGE_SCHEMA.fields) for r in rows],
+                    LINEAGE_SCHEMA,
+                ).coalesce(1).write.mode("append").parquet(self.metrics_dir)
         if self.on_batch is not None:
             self.on_batch(epoch_id, result)
+
+    def _metrics_epoch_present(self, spark, epoch_id: int) -> bool:
+        import glob
+        import os
+
+        if not glob.glob(os.path.join(self.metrics_dir, "**", "*.parquet"),
+                         recursive=True):
+            return False
+        from battetl_spark.schemas import LINEAGE_SCHEMA
+
+        m = spark.read.schema(LINEAGE_SCHEMA).parquet(self.metrics_dir)
+        return m.filter(F.col("epoch_id") == int(epoch_id)).limit(1).count() > 0
+
+    def _lineage_rows_for_epoch(self, epoch_id: int) -> list[dict]:
+        """This epoch's lineage rows from the snapshot metadata (the commit
+        that fenced the epoch embedded them atomically with the data)."""
+        import glob
+        import json
+        import os
+
+        meta = os.path.join(self.table.path, "metadata")
+        for p in sorted(glob.glob(os.path.join(meta, "v*.json"))):
+            with open(p) as f:
+                snap = json.load(f)
+            rows = [
+                {**r, "snapshot_id": snap["snapshot_id"]}
+                for r in snap.get("lineage", [])
+                if r.get("epoch_id") == int(epoch_id)
+            ]
+            if rows:
+                return rows
+        return []
 
     def start(
         self,

@@ -117,6 +117,37 @@ def test_concurrent_schema_evolution_does_not_retag_files(spark, table):
     assert table.scan().filter(F.col("extra_col").isNotNull()).count() == 0
 
 
+def test_merge_rebase_counter_exposed(spark, table):
+    """A merge that loses a commit race rebases and reports HOW MANY times
+    (MergeResult.rebases + per-lineage-row), so multi-writer contention is
+    observable in the metrics feed."""
+    events = FX.change_events_df(
+        spark, FX.make_change_events(seed=8, n_events=600, n_convs=40, max_turns=6)
+    )
+    rival = FX.change_events_df(
+        spark, FX.make_change_events(seed=9, n_events=600, n_convs=40, max_turns=6)
+    )
+    orig = table.replace_buckets
+    state = {"raced": False}
+
+    def racy(df, buckets, **kw):
+        if not state["raced"]:
+            state["raced"] = True  # set first: the rival merge re-enters racy
+            assert merge_apply(table, rival, epoch_id=70).applied
+        return orig(df, buckets, **kw)
+
+    table.replace_buckets = racy
+    try:
+        res = merge_apply(table, events, epoch_id=71)
+    finally:
+        table.replace_buckets = orig
+    assert res.applied and res.rebases == 1
+    assert res.lineage and all(r["rebases"] == 1 for r in res.lineage)
+    ldf = table.lineage_df().toPandas()
+    assert (ldf[ldf.epoch_id == 71].rebases == 1).all()
+    assert (ldf[ldf.epoch_id == 70].rebases == 0).all()
+
+
 def test_null_bucket_key_lands_in_real_bucket(spark, tmp_path):
     """ADVICE regression probe: xxhash64(NULL) is the seed (42), never NULL,
     so NULL keys hash to a real bucket and stay scannable/compactable."""

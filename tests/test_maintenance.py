@@ -51,6 +51,105 @@ def test_vacuum_tombstones_keeps_live_rows_and_fencing(spark, tmp_path):
     assert_pdf_equal(state(t), expected, KEY_COLS)
 
 
+def test_scan_zone_map_file_skipping(spark, tmp_path):
+    """Per-file min/max stats must let a bounded scan skip whole files:
+    two appends with disjoint _last_lsn / ts ranges → an lsn- or ts-bounded
+    scan opens strictly fewer files than the table total, with exact rows."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_TABLE_SCHEMA,
+                         num_buckets=4, key_cols=KEY_COLS, sort_cols=KEY_COLS)
+    base = FX.make_transcripts(seed=7, n_convs=40, max_turns=5)
+    half = len(base) // 2
+    for lo, hi, ts0 in ((0, half, "2026-01-01"), (half, len(base), "2026-06-01")):
+        pdf = base.iloc[lo:hi].reset_index(drop=True).copy()
+        pdf["_last_lsn"] = np.arange(lo + 1, hi + 1, dtype=np.int64)
+        pdf["_deleted"] = False
+        pdf["ts"] = pd.Timestamp(ts0) + pd.to_timedelta(np.arange(hi - lo), "s")
+        cols = [f.name for f in TRANSCRIPT_TABLE_SCHEMA.fields]  # positional
+        t.append(spark.createDataFrame(pdf[cols], TRANSCRIPT_TABLE_SCHEMA))
+
+    snap = t.snapshot()
+    assert all(
+        "stats" in e and "_last_lsn" in e["stats"] and "ts" in e["stats"]
+        for entries in snap["files"].values() for e in entries
+    )
+    total_files = len(t.scan().inputFiles())
+
+    lsn_scan = t.scan(filters=[("_last_lsn", ">", half)])
+    assert 0 < len(lsn_scan.inputFiles()) < total_files  # files skipped
+    assert lsn_scan.count() == len(base) - half
+
+    import datetime
+    ts_scan = t.scan(filters=[("ts", ">=", datetime.datetime(2026, 6, 1))])
+    assert 0 < len(ts_scan.inputFiles()) < total_files
+    assert ts_scan.count() == len(base) - half
+
+    # combined range that matches nothing: zero files opened, zero rows
+    none = t.scan(filters=[("_last_lsn", ">", len(base) + 10)])
+    assert len(none.inputFiles()) == 0 and none.count() == 0
+
+
+def test_vacuum_tombstones_zone_map_pruned(spark, tmp_path):
+    """Tombstones isolated in buckets {0,1} of 8 → vacuum rewrites ONLY
+    those buckets' files; every other bucket's file list carries forward
+    byte-identical (maintenance cost ∝ qualifying buckets, not table)."""
+    from pyspark.sql import functions as F
+
+    from battetl_spark.lake.table import bucket_expr
+
+    NB = 8
+    t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_TABLE_SCHEMA,
+                         num_buckets=NB, key_cols=KEY_COLS, sort_cols=KEY_COLS)
+    ev = FX.make_change_events(seed=21, n_events=1200, n_convs=64, max_turns=4)
+    ins = ev[ev.op != "d"].reset_index(drop=True)
+    assert merge_apply(t, FX.change_events_df(spark, ins), epoch_id=0).applied
+
+    # keys currently living in buckets {0, 1}
+    keys = (
+        t.scan()
+        .select("conv_id", "turn_idx")
+        .withColumn("b", bucket_expr("conv_id", NB))
+        .filter(F.col("b") < 2)
+        .drop("b")
+        .toPandas()
+    )
+    assert len(keys) > 0
+    max_lsn = int(ins.lsn.max())
+    dels = pd.DataFrame(
+        {
+            "lsn": np.arange(max_lsn + 1, max_lsn + 1 + len(keys), dtype=np.int64),
+            "op": "d",
+            "conv_id": keys.conv_id.values,
+            "turn_idx": keys.turn_idx.values.astype(np.int32),
+            "role": None,
+            "text": None,
+            "tool": None,
+            "ts": pd.Timestamp("2026-08-01"),
+            "source_partition": np.int32(0),
+        }
+    )
+    assert merge_apply(t, FX.change_events_df(spark, dels), epoch_id=1).applied
+
+    before = t.snapshot()
+    tomb_buckets = {
+        b
+        for b, entries in before["files"].items()
+        if any((e.get("stats") or {}).get("_deleted", {}).get("max") for e in entries)
+    }
+    assert tomb_buckets and tomb_buckets <= {"0", "1"}
+
+    assert t.vacuum_tombstones(below_lsn=10_000_000) is not None
+    after = t.snapshot()
+    changed = {
+        b
+        for b in set(before["files"]) | set(after["files"])
+        if before["files"].get(b) != after["files"].get(b)
+    }
+    assert changed == tomb_buckets  # untouched buckets carried forward
+    assert t.scan(include_deleted=True).filter("_deleted").count() == 0
+    # no qualifying tombstones left → second vacuum is a metadata no-op
+    assert t.vacuum_tombstones(below_lsn=10_000_000) is None
+
+
 def test_vacuum_files_removes_unreferenced(spark, tmp_path):
     t, expected = build(spark, tmp_path)
     t.compact(min_files_per_bucket=2)

@@ -226,6 +226,43 @@ def test_metrics_table_lineage_per_batch(spark, tmp_path, base_pdf, events_pdf):
     assert snap_lineage.count() == m.count()
 
 
+def test_metrics_feed_heals_after_crash_between_commit_and_append(
+    spark, tmp_path, base_pdf, events_pdf
+):
+    """ADVICE fix: a crash AFTER the merge commit but BEFORE the metrics
+    append must not lose that epoch's metrics forever. On the fenced replay
+    the stream recovers the epoch's lineage from the snapshot-embedded copy
+    and appends it — every applied epoch ends up in the metrics table
+    exactly once."""
+    src = str(tmp_path / "events-mheal")
+    write_event_files(spark, events_pdf, src, k=4)
+    t = seeded(spark, str(tmp_path / "table-mheal"), base_pdf)
+    metrics = str(tmp_path / "metrics-mheal")
+    ckpt = str(tmp_path / "ckpt-mheal")
+
+    crashed = {"done": False}
+
+    def injector(epoch_id, phase):
+        # after_merge fires after the merge commit, before the metrics write
+        if epoch_id == 1 and phase == "after_merge" and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash between commit and metrics")
+
+    stream = CdcStream(t, ckpt, metrics_dir=metrics, fail_injector=injector)
+    with pytest.raises(Exception):
+        stream.run_to_completion(read_change_event_stream(spark, src))
+    assert crashed["done"]
+
+    stream2 = CdcStream(t, ckpt, metrics_dir=metrics)
+    stream2.run_to_completion(read_change_event_stream(spark, src))
+
+    m = spark.read.parquet(metrics).toPandas()
+    assert set(m.epoch_id.unique()) == {0, 1, 2, 3}  # crashed epoch healed
+    # exactly once per (epoch, source_partition) — the heal didn't duplicate
+    assert len(m) == len(m[["epoch_id", "source_partition"]].drop_duplicates())
+    assert t.lineage_df().count() == len(m)
+
+
 def test_two_table_exactly_once_stats_catchup_after_crash(
     spark, tmp_path, base_pdf, events_pdf, expected
 ):
