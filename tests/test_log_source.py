@@ -1,0 +1,132 @@
+"""Partitioned-log (Kafka-shaped) source adapter.
+
+Pins the adapter contract: per-partition ordered offsets map to a total lsn
+order, keys are partition-sticky (keyed-producer), and the merge converges
+to the single-log answer even when partitions are delivered wildly
+out-of-order relative to each other — including across a crash/resume from
+checkpoint mid-stream."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from battetl_spark import fixtures as FX
+from battetl_spark.lake import LakeTable
+from battetl_spark.schemas import KEY_COLS, TRANSCRIPT_TABLE_SCHEMA
+from battetl_spark.streaming import CdcStream, FilePartitionedLog
+
+PAYLOAD = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+P = 4
+
+
+@pytest.fixture(scope="module")
+def events_pdf():
+    return FX.make_change_events(
+        seed=77, n_events=1500, n_convs=40, max_turns=8, dup_rate=0.02
+    )
+
+
+def build_skewed_log(spark, path, events_pdf):
+    """Publish the log so partitions interleave badly: each partition's
+    events arrive in order (producer contract) but whole partitions are
+    delivered in shuffled order, split across two rounds."""
+    log = FilePartitionedLog.create(spark, path, P)
+    ev = FX.change_events_df(spark, events_pdf)
+    part = F.pmod(F.xxhash64("conv_id"), F.lit(P)).cast("int")
+    mid = int(events_pdf["lsn"].median())
+    for lo, hi in ((None, mid), (mid, None)):  # two seq rounds, in order
+        for p in (2, 0, 3, 1):  # partitions delivered out of order
+            chunk = ev.filter(part == p)
+            if lo is None:
+                chunk = chunk.filter(F.col("lsn") <= hi)
+            else:
+                chunk = chunk.filter(F.col("lsn") > lo)
+            if chunk.count():
+                log.publish(chunk)
+    return log
+
+
+def fresh_table(spark, path):
+    return LakeTable.create(
+        spark, path, TRANSCRIPT_TABLE_SCHEMA, num_buckets=8,
+        key_cols=KEY_COLS, sort_cols=KEY_COLS,
+    )
+
+
+def payload_state(t):
+    return (
+        t.scan().orderBy(*KEY_COLS).toPandas()[PAYLOAD].reset_index(drop=True)
+    )
+
+
+def test_partitioned_log_contract(spark, tmp_path, events_pdf):
+    log = build_skewed_log(spark, str(tmp_path / "log"), events_pdf)
+    meta = log.meta()
+    assert meta["segments"] >= 8
+    rows = log.read_all()
+    # keys are partition-sticky (keyed-producer contract)
+    assert (
+        rows.groupBy("conv_id")
+        .agg(F.countDistinct("source_partition").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+        == 0
+    )
+    # offsets are dense per partition: count == high-water offset
+    per = {
+        str(r["source_partition"]): r["n"]
+        for r in rows.groupBy("source_partition").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == {p: n for p, n in meta["next_offset"].items() if n}
+    # lsn = offset * P + partition is collision-free
+    assert rows.select("lsn").distinct().count() == rows.count()
+
+
+def test_partitioned_log_replays_equal_to_single_log(spark, tmp_path, events_pdf):
+    log4 = build_skewed_log(spark, str(tmp_path / "log4"), events_pdf)
+    t4 = fresh_table(spark, str(tmp_path / "t4"))
+    CdcStream(t4, str(tmp_path / "ckpt4")).run_to_completion(
+        log4.read_stream(max_files_per_trigger=1)
+    )
+
+    log1 = FilePartitionedLog.create(spark, str(tmp_path / "log1"), 1)
+    log1.publish(FX.change_events_df(spark, events_pdf))
+    t1 = fresh_table(spark, str(tmp_path / "t1"))
+    CdcStream(t1, str(tmp_path / "ckpt1")).run_to_completion(
+        log1.read_stream(max_files_per_trigger=1)
+    )
+
+    # identical payload state (lsns differ by construction: offsets × P)
+    assert payload_state(t4).equals(payload_state(t1))
+
+    # and both equal the sequential pandas oracle over the raw seq order
+    expected = FX.pandas_oracle_replay(None, events_pdf)[PAYLOAD].reset_index(
+        drop=True
+    )
+    assert payload_state(t4).equals(expected)
+
+
+def test_partitioned_log_resume_from_checkpoint(spark, tmp_path, events_pdf):
+    log = build_skewed_log(spark, str(tmp_path / "log"), events_pdf)
+    t = fresh_table(spark, str(tmp_path / "t"))
+    ckpt = str(tmp_path / "ckpt")
+
+    crashed = {"done": False}
+
+    def injector(epoch_id, phase):
+        if epoch_id == 2 and phase == "after_merge" and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash mid-stream")
+
+    with pytest.raises(Exception):
+        CdcStream(t, ckpt, fail_injector=injector).run_to_completion(
+            log.read_stream(max_files_per_trigger=1)
+        )
+    assert crashed["done"]
+
+    CdcStream(t, ckpt).run_to_completion(log.read_stream(max_files_per_trigger=1))
+    expected = FX.pandas_oracle_replay(None, events_pdf)[PAYLOAD].reset_index(
+        drop=True
+    )
+    assert payload_state(t).equals(expected)

@@ -92,3 +92,56 @@ def test_changes_between_cdf(spark, tmp_path):
     # v-to-same-v diff is empty
     v1 = t.snapshot()["version"]
     assert t.changes_between(v1, v1).count() == 0
+
+
+def test_cdf_across_schema_evolution(spark, tmp_path):
+    """changes_between across a snapshot boundary where a column was ADDED
+    (round-2 verdict #7): diffing (v_before, v_after_evolution) must
+    harmonize both sides to the current schema — change rows produced by
+    old-schema events carry NULL in the added column, rows written by
+    new-schema events carry the real value, and the insert/update/delete
+    classification is unaffected."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    base = FX.make_transcripts(seed=81, n_convs=20, max_turns=5)
+    ev = FX.make_change_events(seed=82, n_events=600, n_convs=25, max_turns=5)
+    t = LakeTable.create(spark, str(tmp_path / "cdfe"), TRANSCRIPT_TABLE_SCHEMA,
+                         num_buckets=4, key_cols=KEY_COLS, sort_cols=KEY_COLS)
+    t.append(FX.table_rows_df(spark, base))
+    v0 = t.snapshot()["version"]
+
+    # epoch 0: old schema; epoch 1: adds a 'score' column (schema evolves)
+    merge_apply(
+        t, FX.change_events_df(spark, ev.iloc[:300].reset_index(drop=True)),
+        epoch_id=0,
+    )
+    new_events = FX.change_events_df(
+        spark, ev.iloc[300:].reset_index(drop=True)
+    ).withColumn("score", (F.col("lsn") % 7).cast("double"))
+    merge_apply(t, new_events, epoch_id=1)
+    v2 = t.snapshot()["version"]
+    assert "score" in [f.name for f in t.schema.fields]
+
+    cdf = t.changes_between(v0, v2).toPandas()
+    assert len(cdf) > 0 and "score" in cdf.columns
+    new_lsns = set(ev.iloc[300:]["lsn"])
+    live = cdf[cdf._change_type.isin(["insert", "update"])]
+    assert len(live) > 0
+    from_new = live[live._last_lsn.isin(new_lsns)]
+    from_old = live[~live._last_lsn.isin(new_lsns)]
+    assert len(from_new) > 0 and len(from_old) > 0  # both schemas represented
+    # new-schema rows carry the real value; old-schema rows harmonize to NULL
+    assert (from_new.score == from_new._last_lsn % 7).all()
+    assert from_old.score.isna().all()
+
+    # classification matches the brute-force state diff across the boundary
+    old = t.scan_at(v0).toPandas().set_index(["conv_id", "turn_idx"])
+    new = t.scan_at(v2).toPandas().set_index(["conv_id", "turn_idx"])
+    got = cdf.set_index(["conv_id", "turn_idx"])
+    assert set(got[got._change_type == "insert"].index) == (
+        set(new.index) - set(old.index)
+    )
+    assert set(got[got._change_type == "delete"].index) == (
+        set(old.index) - set(new.index)
+    )
