@@ -246,16 +246,25 @@ def embedding_near_dup_pairs(
     Scale shape: signatures are built by posexplode + partial-sum
     aggregation — whole-stage-codegen sums with map-side combine, so only
     (id, plane-dot) signatures cross the exchange, never the vector payload
-    (same discipline as the simhash bit-vote build, textops.py). Dots are
-    integer-quantized so any engine derives identical signs."""
+    (same discipline as the simhash bit-vote build, textops.py). Plane sign
+    p,j is derived IN-ENGINE from xxhash64(p, j) parity rather than literal
+    ±1 matrices: the plan stays O(planes) nodes instead of O(planes×dim)
+    literals, whose repeated canonicalization cost ~10s of DRIVER planning
+    per query build (measured; execution was never the bottleneck). The
+    verify stage is the exact cosine, so the oracle (exhaustive all-pairs)
+    never needs to reproduce the planes."""
     n_planes = bands * rows_per_band
-    signs = plane_signs(n_planes, dim)
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
     # one exploded row per (vector, dim); each plane's dot is a SUM aggregate
-    # of sign[pos] * q — 144 codegen'd sums beat 144 interpreted
-    # higher-order-function folds by ~10× (measured 2.4s → 0.25s per pass)
+    # of sign(p, pos) * q — codegen'd sums beat interpreted higher-order
+    # folds by ~10× (measured 2.4s → 0.35s per pass)
+    def sign(p: int):
+        return F.lit(1) - F.lit(2) * F.pmod(
+            F.xxhash64(F.lit(p), F.col("__pos")), F.lit(2)
+        )
+
     sig = (
         v.select(
             id_col,
@@ -266,15 +275,14 @@ def embedding_near_dup_pairs(
         .groupBy(id_col)
         .agg(
             *[
-                F.sum(
-                    F.element_at(
-                        F.array(*[F.lit(s) for s in signs[p]]), F.col("__pos") + 1
-                    )
-                    * F.col("__q")
-                ).alias(f"__d{p}")
+                F.sum(sign(p) * F.col("__q")).alias(f"__d{p}")
                 for p in range(n_planes)
             ]
         )
+        # signature store: the banded self-join references this frame on
+        # both sides — persist so the corpus is projected once (N×planes
+        # longs, spills if ever large)
+        .persist()
     )
 
     def band_bucket(b: int):

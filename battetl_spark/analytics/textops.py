@@ -302,7 +302,10 @@ def minhash_lsh_pairs(
     minhashes) — cheaper at very large scale, but approximate. Output
     column: ``est_jaccard``.
     """
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    # signature store: banding references sigs on both join sides; persist
+    # or every side re-shingles + re-minhashes the corpus (K aggregates over
+    # the full token stream). N×(id, K longs).
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k).persist()
     cand = _banded_candidates(
         sigs, id_col, num_hashes, rows_per_band, min_band_matches
     )
@@ -319,9 +322,11 @@ def minhash_lsh_pairs(
             .filter(F.col("est_jaccard") >= jaccard_threshold)
             .select("id_a", "id_b", "est_jaccard")
         )
+    # the verify join references the shingle sets twice (id_a, id_b sides) —
+    # persist so the corpus is shingled once, not twice more
     with_sh = docs.select(
         F.col(id_col), word_shingle_hashes(text_col, shingle_k).alias("sh")
-    )
+    ).persist()
     return _exact_jaccard_over(cand, with_sh, id_col, jaccard_threshold)
 
 
@@ -391,6 +396,10 @@ def ngram_jaccard_pairs(
             F.col(id_col),
             F.array_sort(word_shingle_hashes(text_col, shingle_k)).alias("sh"),
         )
+    # with_sh is referenced FOUR times (both prefix self-join sides + both
+    # verify sides); for the frequency ordering it is itself a multi-shuffle
+    # pipeline — persist so the corpus is shingled/ordered exactly once
+    with_sh = with_sh.persist()
     prefix_len = (
         F.size("sh") - F.ceil(F.lit(float(threshold)) * F.size("sh")).cast("int") + 1
     )
@@ -491,13 +500,15 @@ def simhash_signatures(
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("__t"),
     )
     h = F.md5("__t")
-    digits = toks.select(
-        F.col(id_col),
-        *[
-            F.conv(F.substring(h, d + 1, 1), 16, 10).cast("int").alias(f"__d{d}")
-            for d in range(16)
-        ],
-    )
+
+    # hex digit value via ascii arithmetic: '0'-'9' → 48-57, 'a'-'f' → 97-102
+    # (md5 emits lowercase). Same value as conv(digit, 16, 10) at ~3× less
+    # cost — conv is a general-radix string parse, 16 of them per token.
+    def hexval(d: int):
+        a = F.ascii(F.substring(h, d + 1, 1))
+        return (a - 48 - F.when(a >= 97, 39).otherwise(0)).alias(f"__d{d}")
+
+    digits = toks.select(F.col(id_col), *[hexval(d) for d in range(16)])
     votes = [
         F.sum(
             F.when(_token_bit(F.col(f"__d{b // 4}"), b % 4) == 1, 1).otherwise(-1)
@@ -548,7 +559,11 @@ def simhash_near_dups(
             "4-block pigeonhole guarantees recall only for max_hamming <= 3; "
             "use more blocks (multi-index) for larger radii"
         )
-    sig = simhash_signatures(docs, id_col, text_col)
+    # materialize the signature store: the blocked self-join references the
+    # signature frame on BOTH sides, and without a persist each side
+    # re-runs the whole corpus-wide tokenize+md5+64-vote pipeline (2× the
+    # dominant cost, measured). N×(id, 2 longs) — spills if ever large.
+    sig = simhash_signatures(docs, id_col, text_col).persist()
     mask = F.lit(0xFFFF)
     blocked = sig.select(
         F.col(id_col),
