@@ -511,9 +511,7 @@ def q_emb_near_dup(spark, sf):
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform("embedding", lambda x: x * 0.999 + 0.0003).alias("embedding"),
     )
-    return embedding_near_dup_pairs(
-        emb.unionByName(planted), dim=64, threshold=0.9
-    )
+    return embedding_near_dup_pairs(emb.unionByName(planted), threshold=0.9)
 
 
 def q_ann_lsh_topk(spark, sf):

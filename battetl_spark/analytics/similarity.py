@@ -220,7 +220,6 @@ def ivf_cosine_topk(
 
 def embedding_near_dup_pairs(
     vectors: DataFrame,
-    dim: int,
     threshold: float = 0.9,
     bands: int = 12,
     rows_per_band: int = 12,
@@ -252,7 +251,9 @@ def embedding_near_dup_pairs(
     literals, whose repeated canonicalization cost ~10s of DRIVER planning
     per query build (measured; execution was never the bottleneck). The
     verify stage is the exact cosine, so the oracle (exhaustive all-pairs)
-    never needs to reproduce the planes."""
+    never needs to reproduce the planes — and signatures adapt to the
+    actual vector length, so no ``dim`` parameter is needed (unlike the
+    literal-plane ANN entry points)."""
     n_planes = bands * rows_per_band
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")

@@ -4,6 +4,14 @@ Beyond-reference operators a 100 TB training-data pipeline needs (per the
 build brief): dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
 language-ID, quality scoring, token counting, document fingerprinting.
 
+Cache lifecycle: the near-dup operators persist their derived signature /
+shingle frames (the candidate self-join and exact-verify joins reference
+them 2-5×; recomputing the corpus pipeline per reference dominated the
+bench). The cache is MEMORY_AND_DISK and evicted LRU; the returned
+DataFrames are lazy so there is no in-function unpersist point — a
+long-lived session sweeping MANY corpora should `spark.catalog.clearCache()`
+between corpora (bench.py does exactly this between query reps).
+
 Scale design notes (these run over O(10^9) docs):
 - exact dedup: one hash-groupBy shuffle on a 16-byte digest, partial agg
   map-side; never shuffles document text except the kept winner's id.

@@ -160,6 +160,20 @@ class CdcStream:
                 # snapshot-embedded copy and append it exactly once (guarded
                 # by the lacks-this-epoch check above).
                 rows = self._lineage_rows_for_epoch(epoch_id)
+                if not rows:
+                    # recoverable only while the fencing snapshot's metadata
+                    # survives — if vacuum_files dropped it before the replay,
+                    # say so loudly instead of silently losing the epoch
+                    import warnings
+
+                    warnings.warn(
+                        f"metrics heal: epoch {epoch_id} is fenced but its "
+                        "lineage is in no retained snapshot (vacuumed before "
+                        "replay?) — this epoch will be missing from the "
+                        "metrics table",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
             if rows:
                 from datetime import datetime
 

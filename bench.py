@@ -133,16 +133,22 @@ def main():
     # (64-aggregate simhash, banded minhash) pays seconds of JVM JIT that
     # swings wildly under hypervisor steal (CLAUDE.md: 9-90s class). The warm
     # (rep-2) number is the engine's actual cost and the headline; cold is
-    # recorded alongside so round deltas separate engine from JIT.
+    # recorded alongside so round deltas separate engine from JIT. The cache
+    # is CLEARED between reps: the dedup operators persist their signature
+    # stores internally, and without the clear the warm rep would read the
+    # cold rep's cache (measuring nothing) and the per-query caches would
+    # accumulate across the sweep.
     qs = E.queries()
     cold_timings: dict[str, float] = {}
     for name in ANALYTIC_QUERIES:
         t0 = time.time()
         qs[name](spark, sf_dir).count()
         cold_timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
         t0 = time.time()
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -298,11 +298,11 @@ def test_embedding_near_dup_pairs(spark, emb):
         for v in pdf["embedding"]
     ]
     corpus = emb.unionByName(spark.createDataFrame(pdf, emb.schema))
-    out = embedding_near_dup_pairs(corpus, dim=64, threshold=0.9).toPandas()
+    out = embedding_near_dup_pairs(corpus, threshold=0.9).toPandas()
     assert set(out.id_b - out.id_a) == {500_000} and len(out) == 5
     assert (out.cos_sim >= 0.9).all()
     # clean corpus: no pair is near-dup at 0.9
-    assert embedding_near_dup_pairs(emb, dim=64, threshold=0.9).count() == 0
+    assert embedding_near_dup_pairs(emb, threshold=0.9).count() == 0
 
 
 def test_clean_corpus_pipeline(spark, docs):

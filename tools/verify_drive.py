@@ -1,8 +1,10 @@
 """End-to-end verify at the library surface (.claude/skills/verify recipe).
 
 Drives: CDC replay vs pandas oracle, fence no-op, schema-gate atomicity,
-empty batch, the round-2 oracle-reshaped queries vs DuckDB at sf0.01, and
-the ETL surfaces (7-layout detection, xlsx, aux scans, datasheet attach).
+empty batch, zone-map filtered scans + stats-pruned tombstone vacuum +
+rebase lineage (round 3), the partitioned-log source replay (round 3), the
+oracle-reshaped queries vs DuckDB at sf0.01 (incl. emb_near_dup), and the
+ETL surfaces (7-layout detection, xlsx, aux scans, datasheet attach).
 Exit prints VERIFY PASS markers; any assertion failure is a real break."""
 import shutil, tempfile, sys
 sys.path.insert(0, "/root/repo")
@@ -54,6 +56,51 @@ try:
     r = merge_apply(tbl, FX.change_events_df(spark, ev.iloc[0:0]), epoch_id=100)
     assert not r.applied
     print("CDC surface: OK")
+
+    # --- round-3 surfaces ---------------------------------------------
+    # zone-map stats ride every commit; a bounded scan must skip files and
+    # still return exactly the filtered rows
+    snap = tbl.snapshot()
+    assert any(
+        "stats" in e and LAST_LSN_COL in e["stats"]
+        for entries in snap["files"].values() for e in entries
+    ), "no zone-map stats in snapshot"
+    wm = int(ev["lsn"].max())
+    assert tbl.scan(filters=[("_last_lsn", ">", wm)]).count() == 0
+    assert len(tbl.scan(filters=[("_last_lsn", ">", wm)]).inputFiles()) == 0
+    mid = wm // 2
+    got_f = tbl.scan(filters=[("_last_lsn", ">", mid)]).count()
+    exp_f = tbl.scan().filter(F.col(LAST_LSN_COL) > mid).count()
+    assert got_f == exp_f, "filtered scan semantics broken"
+    # stats-pruned tombstone vacuum: runs, drops all tombstones, state intact
+    before_state = tbl.scan().orderBy(*KEY_COLS).toPandas()[ALL_COLS]
+    tbl.vacuum_tombstones(below_lsn=wm + 10)
+    assert tbl.scan(include_deleted=True).filter("_deleted").count() == 0
+    assert tbl.scan().orderBy(*KEY_COLS).toPandas()[ALL_COLS].equals(before_state)
+    # rebase counter surfaces in lineage
+    lin = tbl.lineage_df().toPandas()
+    assert "rebases" in lin.columns and (lin["rebases"] >= 0).all()
+    print("zone-map/vacuum/rebase surface: OK")
+
+    # partitioned-log source: keyed routing + offset→lsn mapping replays to
+    # the same payload state as the pandas oracle
+    from battetl_spark.streaming import CdcStream, FilePartitionedLog
+
+    log = FilePartitionedLog.create(spark, d + "/log", 4)
+    part = F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int")
+    ev_df = FX.change_events_df(spark, ev)
+    for p in (2, 0, 3, 1):  # partitions delivered out of order
+        log.publish(ev_df.filter(part == p))
+    t2 = LakeTable.create(spark, d + "/t2", TRANSCRIPT_TABLE_SCHEMA,
+                          num_buckets=8, bucket_key="conv_id",
+                          key_cols=KEY_COLS, sort_cols=KEY_COLS)
+    CdcStream(t2, d + "/ckpt2").run_to_completion(
+        log.read_stream(max_files_per_trigger=2))
+    pay = [c for c in ALL_COLS if c != LAST_LSN_COL]
+    got2 = t2.scan().orderBy(*KEY_COLS).toPandas()[pay].reset_index(drop=True)
+    exp2 = FX.pandas_oracle_replay(None, ev)[pay].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, exp2, check_dtype=False)
+    print("partitioned-log surface: OK")
 finally:
     shutil.rmtree(d, ignore_errors=True)
 
@@ -63,7 +110,8 @@ con = duckdb.connect()
 for t in ["events", "documents", "embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 for name in ["doc_minhash_dedup", "doc_simhash", "doc_ngram_jaccard",
-             "ann_lsh_topk", "anti_join_new_keys", "ann_ivf_topk"]:
+             "ann_lsh_topk", "anti_join_new_keys", "ann_ivf_topk",
+             "emb_near_dup"]:
     got = E.queries()[name](spark, sf).toPandas()
     exp = con.sql(E.oracle_sql()[name]).df()
     cols = sorted(got.columns)
