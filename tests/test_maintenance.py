@@ -88,6 +88,42 @@ def test_scan_zone_map_file_skipping(spark, tmp_path):
     assert len(none.inputFiles()) == 0 and none.count() == 0
 
 
+def test_scan_filters_exact_without_stats(spark, tmp_path):
+    """Backward compat: snapshots whose file entries carry NO zone-map stats
+    (pre-round-3 tables) must still serve filtered scans exactly — no file
+    is skipped on ignorance, the row filter does all the work. Vacuum stays
+    conservative (rewrites everything) for the same reason."""
+    t, _ = build(spark, tmp_path, n_batches=2)
+
+    def strip(snap):
+        for entries in snap["files"].values():
+            for e in entries:
+                e.pop("stats", None)
+        return snap
+
+    t.commit(strip)
+    assert all(
+        "stats" not in e
+        for entries in t.snapshot()["files"].values() for e in entries
+    )
+    full = t.scan()
+    wm = full.agg({"_last_lsn": "max"}).first()[0] // 2
+    filtered = t.scan(filters=[("_last_lsn", ">", wm)])
+    # no skipping possible → same files opened; rows exactly match
+    assert sorted(filtered.inputFiles()) == sorted(full.inputFiles())
+    import pandas as pd
+
+    got = filtered.orderBy(*KEY_COLS).toPandas()[ALL].reset_index(drop=True)
+    exp = (
+        full.filter(f"_last_lsn > {wm}")
+        .orderBy(*KEY_COLS).toPandas()[ALL].reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # stats-less vacuum still works (conservatively rewrites all buckets)
+    t.vacuum_tombstones(below_lsn=10_000)
+    assert t.scan(include_deleted=True).filter("_deleted").count() == 0
+
+
 def test_vacuum_tombstones_zone_map_pruned(spark, tmp_path):
     """Tombstones isolated in buckets {0,1} of 8 → vacuum rewrites ONLY
     those buckets' files; every other bucket's file list carries forward
