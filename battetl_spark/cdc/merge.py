@@ -72,8 +72,24 @@ def merge_apply(
     collect_lineage: bool = True,
     target_partitions: int | None = None,
     conflict_retries: int = 2,
+    mode: str = "cow",
 ) -> MergeResult:
     """Apply one batch of change events to the table, exactly once.
+
+    ``mode``:
+    - ``cow`` (default): copy-on-write — read the touched buckets, resolve
+      LWW against current rows, rewrite those buckets. Write cost ∝ batch +
+      touched-bucket bytes; reads stay resolve-free.
+    - ``mor``: merge-on-read — dedup the batch to one winner per key and
+      APPEND the winners as delta files, never reading existing data. Write
+      cost ∝ batch bytes only (the ingest-side answer when hot buckets make
+      CoW rewrite amplification dominate at 100 TB); scans of delta-bearing
+      buckets pay a per-key LWW resolve until ``table.compact()`` folds
+      deltas into base files. Same fences/exactly-once; late events still
+      lose at read time via the same (lsn, base-wins-ties) order. Lineage
+      in this mode counts batch winners (upserts as rows_inserted, deletes
+      as rows_deleted, rows_updated = 0): classifying insert-vs-update
+      exactly would require reading current rows — the very work MOR defers.
 
     A concurrent writer (another merge, a compaction) that lands on an
     overlapping bucket between our scan and our commit aborts the commit
@@ -98,6 +114,15 @@ def merge_apply(
     """
     from battetl_spark.lake.table import CommitConflict
 
+    if mode == "mor":
+        # append-only commit: commutes with concurrent appends, the commit's
+        # own optimistic retry suffices — no rebase loop needed
+        return _merge_apply_mor(
+            table, events, epoch_id, key_cols, collect_lineage, target_partitions
+        )
+    if mode != "cow":
+        raise ValueError(f"unknown merge mode {mode!r} (cow | mor)")
+
     last: CommitConflict | None = None
     for attempt in range(conflict_retries + 1):
         try:
@@ -109,6 +134,136 @@ def merge_apply(
         except CommitConflict as e:
             last = e  # rebase: everything below re-derives from a fresh snapshot
     raise last
+
+
+def _merge_apply_mor(
+    table: LakeTable,
+    events: DataFrame,
+    epoch_id: int | None,
+    key_cols: list[str] | None,
+    collect_lineage: bool,
+    target_partitions: int | None,
+) -> MergeResult:
+    """Merge-on-read apply: batch-local LWW winners appended as delta files.
+
+    ONE key shuffle over the batch (not the bucket) — the resolve against
+    existing rows is deferred to scan()/compact(). Fence, schema gate and
+    lineage offsets behave exactly like the CoW path."""
+    key_cols = key_cols or KEY_COLS
+    if epoch_id is not None and table.has_fence(epoch_id):
+        return MergeResult(applied=False)
+
+    evolved = table.evolve_schema(_incoming_table_schema(events))
+    snap = table.snapshot()
+    payload_cols = [f.name for f in evolved.fields if not f.name.startswith("_")]
+    by_name = {f.name: f for f in evolved.fields}
+    projected = events.select(
+        *[
+            F.col(c).cast(by_name[c].dataType).alias(c)
+            if c in events.columns
+            else F.lit(None).cast(by_name[c].dataType).alias(c)
+            for c in payload_cols
+        ],
+        F.col("lsn"),
+        F.col("op"),
+        F.col("source_partition"),
+    ).withColumn(BUCKET_COL, bucket_expr(snap["bucket_key"], snap["num_buckets"]))
+
+    # affected buckets + batch max lsn from a column-pruned tiny aggregate
+    slim = events.select(
+        bucket_expr(snap["bucket_key"], snap["num_buckets"]).alias(BUCKET_COL), "lsn"
+    )
+    bucket_rows = slim.groupBy(BUCKET_COL).agg(F.max("lsn").alias("mx")).collect()
+    buckets = sorted(r[0] for r in bucket_rows)
+    batch_max_lsn = max((r["mx"] for r in bucket_rows), default=0)
+    if not buckets:
+        return MergeResult(applied=False)
+
+    # batch-local LWW: one winner per key (same max_by fold, batch-only)
+    non_key = [c for c in projected.columns if c not in key_cols]
+    winners = (
+        projected.groupBy(*key_cols)
+        .agg(F.max_by(F.struct(*non_key), F.col("lsn")).alias("__w"))
+        .select(*key_cols, *[F.col(f"__w.{c}").alias(c) for c in non_key])
+    )
+
+    lineage_rows: list[dict] = []
+    ins = dele = 0
+    if collect_lineage:
+        winners = winners.persist()
+        offsets = {
+            r["source_partition"]: r
+            for r in events.groupBy("source_partition")
+            .agg(F.min("lsn").alias("min_lsn"), F.max("lsn").alias("max_lsn"))
+            .collect()
+        }
+        changes = {
+            (r["source_partition"], r["__kind"]): r["n"]
+            for r in winners.withColumn(
+                "__kind", F.when(F.col("op") == "d", "delete").otherwise("upsert")
+            )
+            .groupBy("source_partition", "__kind")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        now = utc_now_iso()
+        for sp, off in sorted(offsets.items(), key=lambda kv: (kv[0] is None, kv[0])):
+            lineage_rows.append(
+                {
+                    "epoch_id": -1 if epoch_id is None else int(epoch_id),
+                    "source_partition": sp,
+                    "min_lsn": off["min_lsn"],
+                    "max_lsn": off["max_lsn"],
+                    "rows_inserted": changes.get((sp, "upsert"), 0),
+                    "rows_updated": 0,  # insert/update split needs a read — deferred
+                    "rows_deleted": changes.get((sp, "delete"), 0),
+                    "rebases": 0,
+                    "committed_at": now,
+                }
+            )
+        ins = sum(r["rows_inserted"] for r in lineage_rows)
+        dele = sum(r["rows_deleted"] for r in lineage_rows)
+
+    dead = F.col("op") == "d"
+    out = winners.select(
+        *[
+            F.col(c)
+            if c in key_cols
+            else F.when(dead, F.lit(None).cast(by_name[c].dataType))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in payload_cols
+        ],
+        F.col("lsn").alias(LAST_LSN_COL),
+        dead.alias(DELETED_COL),
+        F.col(BUCKET_COL),
+    )
+    fence = None
+    if epoch_id is not None:
+        fence = {"epoch_id": int(epoch_id), "max_lsn": int(batch_max_lsn)}
+    try:
+        new_snap = table.append_delta_buckets(
+            out,
+            fence=fence,
+            lineage=lineage_rows,
+            target_partitions=target_partitions,
+            schema_id=snap["current_schema_id"],
+        )
+    finally:
+        if collect_lineage:
+            winners.unpersist()
+    if new_snap is None:
+        return MergeResult(applied=False)  # fence race: batch discarded
+    return MergeResult(
+        applied=True,
+        snapshot_id=new_snap["snapshot_id"],
+        rows_inserted=ins,
+        rows_deleted=dele,
+        buckets_rewritten=buckets,
+        lineage=[
+            {**r, "snapshot_id": new_snap["snapshot_id"]} for r in lineage_rows
+        ],
+    )
 
 
 def _merge_apply_once(

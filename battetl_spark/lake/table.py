@@ -321,10 +321,18 @@ class LakeTable:
         are never opened — read cost ∝ qualifying-file bytes) AND as a row
         filter, so the semantics are exact regardless of which files carry
         stats. A ``ts``- or ``_last_lsn``-bounded scan of a 100 TB table
-        touches only the files whose range overlaps."""
+        touches only the files whose range overlaps.
+
+        Merge-on-read: buckets holding DELTA files (``merge_apply(mode=
+        'mor')`` appends batch winners without reading the bucket) are
+        resolved here — one winner per key by (lsn, base-beats-delta-on-tie)
+        — before tombstone/row filters. Zone-map file skipping is DISABLED
+        for those buckets: dropping a file could remove the true winner and
+        wrongly promote an older row past the filter. Clean (all-base)
+        buckets keep the fast path: no resolve aggregation, full skipping."""
         snap = snap or self.snapshot()
         cur_schema = T.StructType.fromJson(snap["schema"])
-        wanted = (
+        wanted = list(
             snap["files"].items()
             if buckets is None
             else ((str(b), snap["files"].get(str(b), [])) for b in buckets)
@@ -332,32 +340,76 @@ class LakeTable:
         for col, op, _ in filters or []:
             if op not in _FILTER_OPS:
                 raise ValueError(f"unsupported filter op {op!r} on {col!r}")
-        by_schema: dict[str, list[str]] = {}
-        for _, entries in wanted:
-            for e in entries:
-                if filters and not _file_may_match(e, filters):
-                    continue  # zone-map skip: range proves no row matches
-                by_schema.setdefault(e["schema_id"], []).append(
-                    os.path.join(self.path, e["path"])
-                )
-        if not by_schema:
-            return self.spark.createDataFrame([], cur_schema)
-        parts = []
-        for sid, paths in by_schema.items():
-            g_schema = T.StructType.fromJson(snap["schemas"][sid])
-            df = self.spark.read.schema(g_schema).parquet(*paths)
+
+        field_names = {f.name for f in cur_schema.fields}
+        ftypes = {f.name: f.dataType for f in cur_schema.fields}
+
+        def harmonize(df):
             cols = [
                 F.col(f.name).cast(f.dataType).alias(f.name)
                 if f.name in df.columns
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in cur_schema.fields
             ]
-            parts.append(df.select(*cols))
-        out = reduce(lambda a, b: a.unionByName(b), parts)
-        field_names = {f.name for f in cur_schema.fields}
+            return df.select(*cols)
+
+        def read_union(groups):  # {sid: [paths]} -> harmonized union | None
+            parts = []
+            for sid, paths in groups.items():
+                g_schema = T.StructType.fromJson(snap["schemas"][sid])
+                parts.append(
+                    harmonize(self.spark.read.schema(g_schema).parquet(*paths))
+                )
+            return reduce(lambda a, b: a.unionByName(b), parts) if parts else None
+
+        clean: dict[str, list[str]] = {}
+        base_g: dict[str, list[str]] = {}   # base files of delta-bearing buckets
+        delta_g: dict[str, list[str]] = {}  # delta files of those buckets
+        for _, entries in wanted:
+            has_delta = any(e.get("delta") for e in entries)
+            for e in entries:
+                full = os.path.join(self.path, e["path"])
+                if not has_delta:
+                    if filters and not _file_may_match(e, filters):
+                        continue  # zone-map skip: range proves no row matches
+                    clean.setdefault(e["schema_id"], []).append(full)
+                elif e.get("delta"):
+                    delta_g.setdefault(e["schema_id"], []).append(full)
+                else:
+                    base_g.setdefault(e["schema_id"], []).append(full)
+
+        out = read_union(clean)
+        if delta_g or base_g:
+            key_cols = snap["key_cols"]
+            if not key_cols or LAST_LSN_COL not in field_names:
+                raise ValueError(
+                    "delta files require a keyed CDC table to resolve"
+                )
+            base_df = read_union(base_g)
+            delta_df = read_union(delta_g)
+            both = [
+                d.withColumn("__delta", F.lit(flag))
+                for d, flag in ((base_df, 0), (delta_df, 1))
+                if d is not None
+            ]
+            merged = reduce(lambda a, b: a.unionByName(b), both)
+            non_key = [f.name for f in cur_schema.fields if f.name not in key_cols]
+            order = F.struct(
+                F.col(LAST_LSN_COL), (1 - F.col("__delta")).alias("__prio")
+            )  # max lsn wins; on a tie the BASE row wins (replayed event = no-op)
+            resolved = (
+                merged.groupBy(*key_cols)
+                .agg(F.max_by(F.struct(*non_key), order).alias("__w"))
+                .select(
+                    *key_cols, *[F.col(f"__w.{c}").alias(c) for c in non_key]
+                )
+                .select(*[f.name for f in cur_schema.fields])
+            )
+            out = resolved if out is None else out.unionByName(resolved)
+        if out is None:
+            return self.spark.createDataFrame([], cur_schema)
         if not include_deleted and "_deleted" in field_names:
             out = out.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
-        ftypes = {f.name: f.dataType for f in cur_schema.fields}
         for col, op, val in filters or []:
             lit = F.lit(val)
             if col in ftypes:
@@ -504,6 +556,57 @@ class LakeTable:
         out = self.commit(mutate)
         if state["fenced"]:
             return None  # orphan data files reclaimed by vacuum_files
+        return out
+
+    def append_delta_buckets(
+        self,
+        df: DataFrame,
+        fence: dict | None = None,
+        lineage: list[dict] | None = None,
+        target_partitions: int | None = None,
+        files_per_bucket: int = 4,
+        schema_id: str | None = None,
+    ) -> dict | None:
+        """Merge-on-read commit: append ``df`` (batch winners carrying
+        BUCKET_COL, ``_last_lsn`` and ``_deleted``) as DELTA files on their
+        buckets, WITHOUT reading or rewriting any existing file. Write cost
+        ∝ batch bytes — the ingest-side answer to CoW's touched-bucket
+        rewrite at 100 TB; reads of delta-bearing buckets pay a per-key LWW
+        resolve until ``compact()`` folds deltas back into base files.
+
+        Append-only metadata mutation: concurrent delta appends to the same
+        bucket commute (the optimistic commit retry re-applies the append on
+        the fresh list), so no conflict detection is needed. The fence is
+        honored exactly like replace_buckets: a replayed epoch returns None
+        and commits nothing."""
+        snap = self.snapshot()
+        if not snap["key_cols"] or LAST_LSN_COL not in {
+            f["name"] for f in snap["schema"]["fields"]
+        }:
+            raise ValueError("merge-on-read requires a keyed CDC table")
+        new_files = self._write_data(df, target_partitions, files_per_bucket)
+        state = {"fenced": False}
+
+        def mutate(s):
+            state["fenced"] = False
+            if fence is not None and str(fence["epoch_id"]) in s["fences"]:
+                state["fenced"] = True
+                return None  # exactly-once replay no-op
+            sid = schema_id or s["current_schema_id"]
+            for b_str, entries in new_files.items():
+                s["files"][b_str] = s["files"].get(b_str, []) + [
+                    {**e, "schema_id": sid, "delta": True} for e in entries
+                ]
+            if fence is not None:
+                s["fences"][str(fence["epoch_id"])] = {
+                    k: v for k, v in fence.items() if k != "epoch_id"
+                }
+            s["lineage"] = lineage or []
+            return s
+
+        out = self.commit(mutate)
+        if state["fenced"]:
+            return None  # orphan files reclaimed by vacuum_files
         return out
 
     def append(self, df: DataFrame, lineage: list[dict] | None = None) -> dict:

@@ -28,9 +28,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_cdc_merge(spark, n_events: int, n_batches: int = 4, num_buckets: int = 64,
-                  dedup_strategy: str = "fused", work_dir: str | None = None) -> dict:
+                  dedup_strategy: str = "fused", work_dir: str | None = None,
+                  mode: str = "cow") -> dict:
     # "fused" = the engine-default single-shuffle merge (dedup folded into
-    # the resolve aggregation) — the flagship path CdcStream/submit_job run
+    # the resolve aggregation) — the flagship path CdcStream/submit_job run.
+    # mode="mor" benches the merge-on-read ingest path: winners appended as
+    # delta files (write ∝ batch bytes), one fold-compaction at the end
+    # (timed separately) so the final state check reads base files.
     """Merge-apply replay benchmark; returns timing + throughput."""
     from battetl_spark.cdc import merge_apply
     from battetl_spark.fixtures import spark_change_events
@@ -57,15 +61,20 @@ def run_cdc_merge(spark, n_events: int, n_batches: int = 4, num_buckets: int = 6
         t0 = time.time()
         for i, d in enumerate(ev_dirs):
             merge_apply(table, spark.read.parquet(d), epoch_id=i,
-                        dedup_strategy=dedup_strategy, collect_lineage=False)
+                        dedup_strategy=dedup_strategy, collect_lineage=False,
+                        mode=mode)
         elapsed = time.time() - t0
-        final_rows = table.scan().count()
-        return {
+        out = {
             "events": n_events,
             "seconds": round(elapsed, 3),
             "events_per_sec": round(n_events / elapsed, 1),
-            "final_rows": final_rows,
         }
+        if mode == "mor":
+            t0 = time.time()
+            table.compact(min_files_per_bucket=1)  # fold deltas -> base
+            out["compact_seconds"] = round(time.time() - t0, 3)
+        out["final_rows"] = table.scan().count()
+        return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -129,6 +138,13 @@ def main():
     cdc = min(cdc_runs, key=lambda r: r["seconds"])
     timings["cdc_merge_replay"] = cdc["seconds"]
 
+    # merge-on-read ingest: write ∝ batch bytes, resolve deferred to
+    # compaction (timed separately, not part of the ingest number)
+    mor_runs = [run_cdc_merge(spark, n_events, mode="mor") for _ in range(2)]
+    mor = min(mor_runs, key=lambda r: r["seconds"])
+    assert mor["final_rows"] == cdc["final_rows"], "MOR state != CoW state"
+    timings["cdc_merge_replay_mor"] = mor["seconds"]
+
     # each analytic query runs twice: the FIRST execution of heavy codegen
     # (64-aggregate simhash, banded minhash) pays seconds of JVM JIT that
     # swings wildly under hypervisor steal (CLAUDE.md: 9-90s class). The warm
@@ -164,6 +180,9 @@ def main():
                 "cdc_events_per_sec": cdc["events_per_sec"],
                 "cdc_runs_sec": [r["seconds"] for r in cdc_runs],
                 "cdc_final_rows": cdc["final_rows"],
+                "mor_events_per_sec": mor["events_per_sec"],
+                "mor_runs_sec": [r["seconds"] for r in mor_runs],
+                "mor_compact_sec": mor["compact_seconds"],
                 "cpus": cpus,
             }
         )

@@ -1,0 +1,170 @@
+"""Merge-on-read mode: delta-file appends + read-time LWW resolve.
+
+Pins the MOR contract: replay state equals the CoW replay and the pandas
+oracle; ingest never rewrites existing files (write cost ∝ batch);
+compaction folds deltas back to base with no state change; fences stay
+exactly-once; late events lose at read time; mixing modes converges."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+
+from battetl_spark import fixtures as FX
+from battetl_spark.cdc import merge_apply
+from battetl_spark.lake import LakeTable
+from battetl_spark.schemas import KEY_COLS, TRANSCRIPT_TABLE_SCHEMA
+
+ALL = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "_last_lsn"]
+
+
+def fresh(spark, path, base_pdf=None):
+    t = LakeTable.create(spark, path, TRANSCRIPT_TABLE_SCHEMA, num_buckets=8,
+                         key_cols=KEY_COLS, sort_cols=KEY_COLS)
+    if base_pdf is not None:
+        t.append(FX.table_rows_df(spark, base_pdf))
+    return t
+
+
+def state(t):
+    return t.scan().orderBy(*KEY_COLS).toPandas()[ALL].reset_index(drop=True)
+
+
+def replay(spark, t, events, n_batches=4, mode="mor"):
+    for i, ch in enumerate(np.array_split(events, n_batches)):
+        r = merge_apply(t, FX.change_events_df(spark, ch.reset_index(drop=True)),
+                        epoch_id=i, mode=mode)
+        assert r.applied
+    return t
+
+
+def test_mor_replay_equals_cow_and_oracle(spark, tmp_path):
+    base = FX.make_transcripts(seed=91, n_convs=30, max_turns=6)
+    ev = FX.make_change_events(seed=92, n_events=2000, n_convs=40, max_turns=6,
+                               dup_rate=0.03)
+    t_mor = replay(spark, fresh(spark, str(tmp_path / "mor"), base), ev)
+    t_cow = replay(spark, fresh(spark, str(tmp_path / "cow"), base), ev, mode="cow")
+    expected = FX.pandas_oracle_replay(base, ev)[ALL].reset_index(drop=True)
+    pd.testing.assert_frame_equal(state(t_mor), expected, check_dtype=False)
+    pd.testing.assert_frame_equal(state(t_mor), state(t_cow), check_dtype=False)
+    # delta entries actually exist pre-compaction
+    snap = t_mor.snapshot()
+    assert any(
+        e.get("delta") for entries in snap["files"].values() for e in entries
+    )
+
+
+def test_mor_never_rewrites_existing_files(spark, tmp_path):
+    """The ingest-side claim: each MOR commit only ADDS files — every
+    pre-existing file entry survives untouched (write ∝ batch bytes)."""
+    base = FX.make_transcripts(seed=93, n_convs=30, max_turns=6)
+    ev = FX.make_change_events(seed=94, n_events=1500, n_convs=40, max_turns=6)
+    t = fresh(spark, str(tmp_path / "t"), base)
+    for i, ch in enumerate(np.array_split(ev, 3)):
+        before = {
+            b: [e["path"] for e in entries]
+            for b, entries in t.snapshot()["files"].items()
+        }
+        merge_apply(t, FX.change_events_df(spark, ch.reset_index(drop=True)),
+                    epoch_id=i, mode="mor")
+        after = {
+            b: [e["path"] for e in entries]
+            for b, entries in t.snapshot()["files"].items()
+        }
+        for b, paths in before.items():
+            assert after[b][: len(paths)] == paths, "MOR rewrote existing files"
+
+
+def test_mor_compaction_folds_deltas(spark, tmp_path):
+    base = FX.make_transcripts(seed=95, n_convs=30, max_turns=6)
+    ev = FX.make_change_events(seed=96, n_events=1500, n_convs=40, max_turns=6)
+    t = replay(spark, fresh(spark, str(tmp_path / "t"), base), ev)
+    before = state(t)
+    assert t.compact(min_files_per_bucket=1) is not None
+    snap = t.snapshot()
+    assert not any(
+        e.get("delta") for entries in snap["files"].values() for e in entries
+    ), "compaction left delta files"
+    pd.testing.assert_frame_equal(state(t), before)
+    # post-fold scans are back on the resolve-free fast path and still exact
+    assert t.scan(include_deleted=True).count() >= t.scan().count()
+
+
+def test_mor_fence_replay_and_late_events(spark, tmp_path):
+    base = FX.make_transcripts(seed=97, n_convs=20, max_turns=5)
+    ev = FX.make_change_events(seed=98, n_events=800, n_convs=25, max_turns=5)
+    t = replay(spark, fresh(spark, str(tmp_path / "t"), base), ev, n_batches=2)
+    v = t.snapshot()["version"]
+    s0 = state(t)
+    # replayed epoch: fence no-op, nothing appended
+    r = merge_apply(
+        t, FX.change_events_df(spark, ev.iloc[: len(ev) // 2]), epoch_id=0,
+        mode="mor",
+    )
+    assert not r.applied and t.snapshot()["version"] == v
+    # a LATE event (lsn below the key's applied lsn) lands in a delta file
+    # but LOSES at read time
+    live = t.scan().limit(1).collect()[0]
+    late = pd.DataFrame(
+        {
+            "lsn": [1],  # far below any applied lsn for this key
+            "op": ["u"],
+            "conv_id": [live["conv_id"]],
+            "turn_idx": [np.int32(live["turn_idx"])],
+            "role": ["late-role"],
+            "text": ["LATE"],
+            "tool": [None],
+            "ts": [pd.Timestamp("2026-01-01")],
+            "source_partition": [np.int32(0)],
+        }
+    )
+    r = merge_apply(t, FX.change_events_df(spark, late), epoch_id=50, mode="mor")
+    assert r.applied
+    got = (
+        t.scan()
+        .filter(
+            f"conv_id = '{live['conv_id']}' and turn_idx = {live['turn_idx']}"
+        )
+        .collect()[0]
+    )
+    assert got["text"] == live["text"] and got["_last_lsn"] == live["_last_lsn"]
+    pd.testing.assert_frame_equal(state(t), s0)  # no visible change
+
+
+def test_mor_then_cow_converges(spark, tmp_path):
+    """A CoW merge over a delta-bearing table resolves against the MOR state
+    and its bucket rewrite folds those buckets' deltas."""
+    base = FX.make_transcripts(seed=99, n_convs=25, max_turns=5)
+    ev = FX.make_change_events(seed=100, n_events=1200, n_convs=30, max_turns=5)
+    half = len(ev) // 2
+    t = fresh(spark, str(tmp_path / "t"), base)
+    merge_apply(t, FX.change_events_df(spark, ev.iloc[:half]), epoch_id=0,
+                mode="mor")
+    merge_apply(
+        t, FX.change_events_df(spark, ev.iloc[half:].reset_index(drop=True)),
+        epoch_id=1, mode="cow",
+    )
+    expected = FX.pandas_oracle_replay(base, ev)[ALL].reset_index(drop=True)
+    pd.testing.assert_frame_equal(state(t), expected, check_dtype=False)
+
+
+def test_mor_scan_filters_still_exact(spark, tmp_path):
+    """Zone-map file skipping is disabled on delta-bearing buckets (skipping
+    a base file could promote an older row past the filter) — filtered
+    scans must equal filter-after-resolve exactly."""
+    base = FX.make_transcripts(seed=101, n_convs=25, max_turns=5)
+    ev = FX.make_change_events(seed=102, n_events=1000, n_convs=30, max_turns=5)
+    t = replay(spark, fresh(spark, str(tmp_path / "t"), base), ev, n_batches=2)
+    wm = int(ev["lsn"].max()) // 2
+    got = (
+        t.scan(filters=[("_last_lsn", ">", wm)])
+        .orderBy(*KEY_COLS).toPandas()[ALL].reset_index(drop=True)
+    )
+    exp = (
+        t.scan().filter(f"_last_lsn > {wm}")
+        .orderBy(*KEY_COLS).toPandas()[ALL].reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)

@@ -101,6 +101,28 @@ try:
     exp2 = FX.pandas_oracle_replay(None, ev)[pay].reset_index(drop=True)
     pd.testing.assert_frame_equal(got2, exp2, check_dtype=False)
     print("partitioned-log surface: OK")
+
+    # merge-on-read: delta-append replay resolves to the identical state;
+    # compaction folds deltas with no state change
+    t3 = LakeTable.create(spark, d + "/t3", TRANSCRIPT_TABLE_SCHEMA,
+                          num_buckets=8, bucket_key="conv_id",
+                          key_cols=KEY_COLS, sort_cols=KEY_COLS)
+    t3.append(FX.table_rows_df(spark, base))
+    for i in range(4):
+        batch = ev.iloc[i * n // 4:(i + 1) * n // 4]
+        assert merge_apply(t3, FX.change_events_df(spark, batch), epoch_id=i,
+                           mode="mor").applied
+    snap3 = t3.snapshot()
+    assert any(e.get("delta")
+               for entries in snap3["files"].values() for e in entries)
+    got3 = t3.scan().orderBy(*KEY_COLS).toPandas()[ALL_COLS].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got3, exp, check_dtype=False)
+    assert t3.compact(min_files_per_bucket=1) is not None
+    assert not any(e.get("delta")
+                   for entries in t3.snapshot()["files"].values() for e in entries)
+    got3b = t3.scan().orderBy(*KEY_COLS).toPandas()[ALL_COLS].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got3b, exp, check_dtype=False)
+    print("merge-on-read surface: OK")
 finally:
     shutil.rmtree(d, ignore_errors=True)
 
