@@ -62,6 +62,40 @@ def _incoming_table_schema(events: DataFrame) -> T.StructType:
     return T.StructType(fields)
 
 
+# ------------------------------------------------ shared CoW/MOR building blocks
+
+def _project(df: DataFrame, payload_cols, by_name, snap) -> DataFrame:
+    """Event batch → evolved payload casts + envelope + bucket id."""
+    return df.select(
+        *[
+            F.col(c).cast(by_name[c].dataType).alias(c)
+            if c in df.columns
+            else F.lit(None).cast(by_name[c].dataType).alias(c)
+            for c in payload_cols
+        ],
+        F.col("lsn"),
+        F.col("op"),
+        F.col("source_partition"),
+    ).withColumn(BUCKET_COL, bucket_expr(snap["bucket_key"], snap["num_buckets"]))
+
+
+def _affected_buckets(slim: DataFrame) -> tuple[list[int], int]:
+    """(sorted bucket ids, batch max lsn) from a column-pruned (bucket, lsn)
+    frame — ONE tiny map-side-combined aggregate job."""
+    rows = slim.groupBy(BUCKET_COL).agg(F.max("lsn").alias("mx")).collect()
+    return sorted(r[0] for r in rows), max((r["mx"] for r in rows), default=0)
+
+
+def _partition_offsets(events: DataFrame) -> dict:
+    """Per-source-partition (min_lsn, max_lsn) — the lineage offset frame."""
+    return {
+        r["source_partition"]: r
+        for r in events.groupBy("source_partition")
+        .agg(F.min("lsn").alias("min_lsn"), F.max("lsn").alias("max_lsn"))
+        .collect()
+    }
+
+
 def merge_apply(
     table: LakeTable,
     events: DataFrame,
@@ -118,7 +152,8 @@ def merge_apply(
         # append-only commit: commutes with concurrent appends, the commit's
         # own optimistic retry suffices — no rebase loop needed
         return _merge_apply_mor(
-            table, events, epoch_id, key_cols, collect_lineage, target_partitions
+            table, events, epoch_id, key_cols, dedup_strategy, salt_buckets,
+            collect_lineage, target_partitions,
         )
     if mode != "cow":
         raise ValueError(f"unknown merge mode {mode!r} (cow | mor)")
@@ -141,14 +176,17 @@ def _merge_apply_mor(
     events: DataFrame,
     epoch_id: int | None,
     key_cols: list[str] | None,
+    dedup_strategy: str,
+    salt_buckets: int,
     collect_lineage: bool,
     target_partitions: int | None,
 ) -> MergeResult:
     """Merge-on-read apply: batch-local LWW winners appended as delta files.
 
     ONE key shuffle over the batch (not the bucket) — the resolve against
-    existing rows is deferred to scan()/compact(). Fence, schema gate and
-    lineage offsets behave exactly like the CoW path."""
+    existing rows is deferred to scan()/compact(). Fence, schema gate,
+    dedup strategies (``salted`` for hot-key batches) and lineage offsets
+    behave exactly like the CoW path."""
     key_cols = key_cols or KEY_COLS
     if epoch_id is not None and table.has_fence(epoch_id):
         return MergeResult(applied=False)
@@ -157,46 +195,39 @@ def _merge_apply_mor(
     snap = table.snapshot()
     payload_cols = [f.name for f in evolved.fields if not f.name.startswith("_")]
     by_name = {f.name: f for f in evolved.fields}
-    projected = events.select(
-        *[
-            F.col(c).cast(by_name[c].dataType).alias(c)
-            if c in events.columns
-            else F.lit(None).cast(by_name[c].dataType).alias(c)
-            for c in payload_cols
-        ],
-        F.col("lsn"),
-        F.col("op"),
-        F.col("source_partition"),
-    ).withColumn(BUCKET_COL, bucket_expr(snap["bucket_key"], snap["num_buckets"]))
 
-    # affected buckets + batch max lsn from a column-pruned tiny aggregate
-    slim = events.select(
-        bucket_expr(snap["bucket_key"], snap["num_buckets"]).alias(BUCKET_COL), "lsn"
+    buckets, batch_max_lsn = _affected_buckets(
+        events.select(
+            bucket_expr(snap["bucket_key"], snap["num_buckets"]).alias(BUCKET_COL),
+            "lsn",
+        )
     )
-    bucket_rows = slim.groupBy(BUCKET_COL).agg(F.max("lsn").alias("mx")).collect()
-    buckets = sorted(r[0] for r in bucket_rows)
-    batch_max_lsn = max((r["mx"] for r in bucket_rows), default=0)
     if not buckets:
         return MergeResult(applied=False)
 
-    # batch-local LWW: one winner per key (same max_by fold, batch-only)
-    non_key = [c for c in projected.columns if c not in key_cols]
-    winners = (
-        projected.groupBy(*key_cols)
-        .agg(F.max_by(F.struct(*non_key), F.col("lsn")).alias("__w"))
-        .select(*key_cols, *[F.col(f"__w.{c}").alias(c) for c in non_key])
-    )
+    if dedup_strategy == "fused":
+        # batch-local LWW: one winner per key (same max_by fold, batch-only)
+        projected = _project(events, payload_cols, by_name, snap)
+        non_key = [c for c in projected.columns if c not in key_cols]
+        winners = (
+            projected.groupBy(*key_cols)
+            .agg(F.max_by(F.struct(*non_key), F.col("lsn")).alias("__w"))
+            .select(*key_cols, *[F.col(f"__w.{c}").alias(c) for c in non_key])
+        )
+    else:
+        # explicit strategy (agg / salted / window) — same pre-winnow the
+        # CoW path honors; never silently discard a requested skew path
+        winners = _project(
+            lww_winners(events, key_cols, "lsn", strategy=dedup_strategy,
+                        salt_buckets=salt_buckets),
+            payload_cols, by_name, snap,
+        )
 
     lineage_rows: list[dict] = []
     ins = dele = 0
     if collect_lineage:
         winners = winners.persist()
-        offsets = {
-            r["source_partition"]: r
-            for r in events.groupBy("source_partition")
-            .agg(F.min("lsn").alias("min_lsn"), F.max("lsn").alias("max_lsn"))
-            .collect()
-        }
+        offsets = _partition_offsets(events)
         changes = {
             (r["source_partition"], r["__kind"]): r["n"]
             for r in winners.withColumn(
@@ -287,22 +318,9 @@ def _merge_apply_once(
     payload_cols = [f.name for f in evolved.fields if not f.name.startswith("_")]
     by_name = {f.name: f for f in evolved.fields}
 
-    def project(df: DataFrame) -> DataFrame:
-        return df.select(
-            *[
-                F.col(c).cast(by_name[c].dataType).alias(c)
-                if c in df.columns
-                else F.lit(None).cast(by_name[c].dataType).alias(c)
-                for c in payload_cols
-            ],
-            F.col("lsn"),
-            F.col("op"),
-            F.col("source_partition"),
-        ).withColumn(BUCKET_COL, bucket_expr(snap["bucket_key"], snap["num_buckets"]))
-
     persisted = None
     if dedup_strategy == "fused":
-        winners = project(events)
+        winners = _project(events, payload_cols, by_name, snap)
         # affected buckets + fence max from a column-pruned scan of the raw
         # batch (only bucket_key + lsn reach the shuffle, post-combine)
         slim = events.select(
@@ -310,17 +328,16 @@ def _merge_apply_once(
             "lsn",
         )
     else:
-        winners = project(
+        winners = _project(
             lww_winners(events, key_cols, "lsn", strategy=dedup_strategy,
-                        salt_buckets=salt_buckets)
+                        salt_buckets=salt_buckets),
+            payload_cols, by_name, snap,
         ).persist()
         persisted = winners
         slim = winners.select(BUCKET_COL, "lsn")
     try:
         # one job: affected buckets + batch max lsn (fence) together
-        bucket_rows = slim.groupBy(BUCKET_COL).agg(F.max("lsn").alias("mx")).collect()
-        buckets = sorted(r[0] for r in bucket_rows)
-        batch_max_lsn = max((r["mx"] for r in bucket_rows), default=0)
+        buckets, batch_max_lsn = _affected_buckets(slim)
         if not buckets:
             return MergeResult(applied=False)
 
@@ -370,12 +387,7 @@ def _merge_apply_once(
         lineage_rows: list[dict] = []
         ins = upd = dele = 0
         if collect_lineage:
-            offsets = {
-                r["source_partition"]: r
-                for r in events.groupBy("source_partition")
-                .agg(F.min("lsn").alias("min_lsn"), F.max("lsn").alias("max_lsn"))
-                .collect()
-            }
+            offsets = _partition_offsets(events)
             changes = {
                 (r["source_partition"], r["__change"]): r["n"]
                 for r in resolved.filter(F.col("__change") != "unchanged")

@@ -363,8 +363,11 @@ class LakeTable:
             return reduce(lambda a, b: a.unionByName(b), parts) if parts else None
 
         clean: dict[str, list[str]] = {}
-        base_g: dict[str, list[str]] = {}   # base files of delta-bearing buckets
-        delta_g: dict[str, list[str]] = {}  # delta files of those buckets
+        # delta-bearing buckets: base files + delta files grouped per
+        # (schema, commit-seq) so the resolve can prefer the EARLIEST commit
+        # on lsn ties (deterministic; CoW-parity)
+        base_g: dict[str, list[str]] = {}
+        delta_g: dict[tuple, list[str]] = {}  # (sid, seq) -> paths
         for _, entries in wanted:
             has_delta = any(e.get("delta") for e in entries)
             for e in entries:
@@ -374,7 +377,9 @@ class LakeTable:
                         continue  # zone-map skip: range proves no row matches
                     clean.setdefault(e["schema_id"], []).append(full)
                 elif e.get("delta"):
-                    delta_g.setdefault(e["schema_id"], []).append(full)
+                    delta_g.setdefault(
+                        (e["schema_id"], int(e.get("seq", 1))), []
+                    ).append(full)
                 else:
                     base_g.setdefault(e["schema_id"], []).append(full)
 
@@ -385,18 +390,20 @@ class LakeTable:
                 raise ValueError(
                     "delta files require a keyed CDC table to resolve"
                 )
+            parts = []
             base_df = read_union(base_g)
-            delta_df = read_union(delta_g)
-            both = [
-                d.withColumn("__delta", F.lit(flag))
-                for d, flag in ((base_df, 0), (delta_df, 1))
-                if d is not None
-            ]
-            merged = reduce(lambda a, b: a.unionByName(b), both)
+            if base_df is not None:
+                parts.append(base_df.withColumn("__seq", F.lit(0)))
+            for (sid, seq), paths in delta_g.items():
+                d = read_union({sid: paths})
+                parts.append(d.withColumn("__seq", F.lit(seq)))
+            merged = reduce(lambda a, b: a.unionByName(b), parts)
             non_key = [f.name for f in cur_schema.fields if f.name not in key_cols]
-            order = F.struct(
-                F.col(LAST_LSN_COL), (1 - F.col("__delta")).alias("__prio")
-            )  # max lsn wins; on a tie the BASE row wins (replayed event = no-op)
+            # max lsn wins; on a tie the EARLIEST-applied row wins (base
+            # __seq=0 beats any delta; older delta beats newer) — a replayed
+            # or duplicate event at the applied lsn is a no-op, exactly as
+            # in the CoW resolve
+            order = F.struct(F.col(LAST_LSN_COL), (-F.col("__seq")).alias("__prio"))
             resolved = (
                 merged.groupBy(*key_cols)
                 .agg(F.max_by(F.struct(*non_key), order).alias("__w"))
@@ -593,9 +600,15 @@ class LakeTable:
                 state["fenced"] = True
                 return None  # exactly-once replay no-op
             sid = schema_id or s["current_schema_id"]
+            # "seq" = the committing snapshot's version: scan's resolve uses
+            # it to break delta-vs-delta lsn ties deterministically in favor
+            # of the FIRST-applied commit (parity with CoW's current-row-wins
+            # tie rule; max_by alone would pick an arbitrary winner)
+            seq = s["version"] + 1
             for b_str, entries in new_files.items():
                 s["files"][b_str] = s["files"].get(b_str, []) + [
-                    {**e, "schema_id": sid, "delta": True} for e in entries
+                    {**e, "schema_id": sid, "delta": True, "seq": seq}
+                    for e in entries
                 ]
             if fence is not None:
                 s["fences"][str(fence["epoch_id"])] = {
@@ -611,8 +624,22 @@ class LakeTable:
 
     def append(self, df: DataFrame, lineage: list[dict] | None = None) -> dict:
         """Append-only commit (seeding / fact-append use; reference analog:
-        chunked INSERT Loader.py:1149-1205 — here one distributed write)."""
+        chunked INSERT Loader.py:1149-1205 — here one distributed write).
+
+        Refused while any bucket holds MOR delta files: an appended row
+        landing in a delta-bearing bucket would silently enter that bucket's
+        read-time LWW resolve (and could lose to a delta and vanish), while
+        the identical append into a clean bucket would surface both rows —
+        visibility must not depend on unrelated MOR activity. Fold deltas
+        with compact() first, or route the rows through merge_apply."""
         snap = self.snapshot()
+        if snap["key_cols"] and any(
+            e.get("delta") for entries in snap["files"].values() for e in entries
+        ):
+            raise ValueError(
+                "append() into a table with outstanding MOR delta files is "
+                "ambiguous — run compact() to fold deltas, or use merge_apply"
+            )
         bexpr = bucket_expr(snap["bucket_key"], snap["num_buckets"])
         new_files = self._write_data(df.withColumn(BUCKET_COL, bexpr))
 

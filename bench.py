@@ -139,7 +139,10 @@ def main():
     timings["cdc_merge_replay"] = cdc["seconds"]
 
     # merge-on-read ingest: write ∝ batch bytes, resolve deferred to
-    # compaction (timed separately, not part of the ingest number)
+    # compaction (timed separately, not part of the ingest number). Reported
+    # per-query but EXCLUDED from the composite "value" so the headline
+    # total stays comparable with pre-MOR rounds (it is an added workload,
+    # not a cost of the existing one).
     mor_runs = [run_cdc_merge(spark, n_events, mode="mor") for _ in range(2)]
     mor = min(mor_runs, key=lambda r: r["seconds"])
     assert mor["final_rows"] == cdc["final_rows"], "MOR state != CoW state"
@@ -166,7 +169,9 @@ def main():
         timings[name] = round(time.time() - t0, 3)
         spark.catalog.clearCache()
 
-    total = round(sum(timings.values()), 3)
+    total = round(
+        sum(v for k, v in timings.items() if k != "cdc_merge_replay_mor"), 3
+    )
     print(
         json.dumps(
             {

@@ -151,6 +151,61 @@ def test_mor_then_cow_converges(spark, tmp_path):
     pd.testing.assert_frame_equal(state(t), expected, check_dtype=False)
 
 
+def _one_event(key, lsn, text):
+    return pd.DataFrame(
+        {
+            "lsn": [lsn],
+            "op": ["u"],
+            "conv_id": [key],
+            "turn_idx": [np.int32(0)],
+            "role": ["user"],
+            "text": [text],
+            "tool": [None],
+            "ts": [pd.Timestamp("2026-01-01")],
+            "source_partition": [np.int32(0)],
+        }
+    )
+
+
+def test_mor_delta_tie_first_commit_wins(spark, tmp_path):
+    """Two delta commits carrying the SAME lsn for a key (cross-epoch
+    redelivery or colliding writers): the FIRST-applied commit must win
+    deterministically — same invariant as CoW's current-row-wins tie rule,
+    pinned via the per-commit seq tag (a bare max_by would pick an
+    arbitrary winner per scan)."""
+    import pytest
+
+    t = fresh(spark, str(tmp_path / "t"))
+    merge_apply(t, FX.change_events_df(spark, _one_event("K", 100, "first")),
+                epoch_id=0, mode="mor")
+    merge_apply(t, FX.change_events_df(spark, _one_event("K", 100, "second")),
+                epoch_id=1, mode="mor")
+    for _ in range(3):  # deterministic across repeated scans
+        assert t.scan().collect()[0]["text"] == "first"
+    t.compact(min_files_per_bucket=1)
+    assert t.scan().collect()[0]["text"] == "first"
+    # and a delta tying an already-compacted BASE row is a no-op too
+    merge_apply(t, FX.change_events_df(spark, _one_event("K", 100, "third")),
+                epoch_id=2, mode="mor")
+    assert t.scan().collect()[0]["text"] == "first"
+
+
+def test_append_refused_on_delta_bearing_table(spark, tmp_path):
+    """append() rows into a delta-bearing bucket would silently join that
+    bucket's LWW resolve (visibility depending on unrelated MOR activity)
+    — refused until deltas are folded."""
+    import pytest
+
+    base = FX.make_transcripts(seed=103, n_convs=10, max_turns=4)
+    t = fresh(spark, str(tmp_path / "t"), base)
+    ev = FX.make_change_events(seed=104, n_events=300, n_convs=12, max_turns=4)
+    merge_apply(t, FX.change_events_df(spark, ev), epoch_id=0, mode="mor")
+    with pytest.raises(ValueError, match="delta"):
+        t.append(FX.table_rows_df(spark, base.iloc[:2]))
+    t.compact(min_files_per_bucket=1)
+    t.append(FX.table_rows_df(spark, base.iloc[:2]))  # folded → allowed
+
+
 def test_mor_scan_filters_still_exact(spark, tmp_path):
     """Zone-map file skipping is disabled on delta-bearing buckets (skipping
     a base file could promote an older row past the filter) — filtered
