@@ -206,6 +206,72 @@ def test_append_refused_on_delta_bearing_table(spark, tmp_path):
     t.append(FX.table_rows_df(spark, base.iloc[:2]))  # folded → allowed
 
 
+def test_mor_streaming_with_auto_compaction(spark, tmp_path):
+    """CdcStream(merge_mode='mor') end-to-end: delta-append microbatches +
+    in-loop auto-compaction bound the file count, survive a crash/resume
+    from checkpoint, and land the exact oracle state."""
+    import pytest
+
+    from battetl_spark.streaming import CdcStream, read_change_event_stream
+
+    base = FX.make_transcripts(seed=105, n_convs=25, max_turns=6)
+    ev = FX.make_change_events(seed=106, n_events=1200, n_convs=30, max_turns=6)
+    src = str(tmp_path / "events")
+    for ch in np.array_split(ev, 5):
+        FX.change_events_df(spark, ch.reset_index(drop=True)).coalesce(1) \
+            .write.mode("append").parquet(src)
+    t = fresh(spark, str(tmp_path / "t"), base)
+    ckpt = str(tmp_path / "ckpt")
+
+    crashed = {"done": False}
+
+    def injector(epoch_id, phase):
+        if epoch_id == 2 and phase == "after_merge" and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash")
+
+    s = CdcStream(t, ckpt, merge_mode="mor", auto_compact_files=4,
+                  fail_injector=injector)
+    with pytest.raises(Exception):
+        s.run_to_completion(read_change_event_stream(spark, src))
+    assert crashed["done"]
+    CdcStream(t, ckpt, merge_mode="mor", auto_compact_files=4) \
+        .run_to_completion(read_change_event_stream(spark, src))
+
+    expected = FX.pandas_oracle_replay(base, ev)[ALL].reset_index(drop=True)
+    pd.testing.assert_frame_equal(state(t), expected, check_dtype=False)
+    # auto-compaction kept per-bucket file counts bounded
+    worst = max(len(e) for e in t.snapshot()["files"].values())
+    assert worst <= 4 + 2  # threshold + at most one post-compact delta batch
+
+
+def test_mor_change_data_feed(spark, tmp_path):
+    """changes_between across MOR commits: the delta append changes the
+    bucket's file list (so the bucket is diffed) and both sides scan through
+    the resolve — the feed equals the brute-force state diff."""
+    base = FX.make_transcripts(seed=107, n_convs=20, max_turns=5)
+    ev = FX.make_change_events(seed=108, n_events=600, n_convs=25, max_turns=5)
+    t = fresh(spark, str(tmp_path / "t"), base)
+    v0 = t.snapshot()["version"]
+    merge_apply(t, FX.change_events_df(spark, ev), epoch_id=0, mode="mor")
+
+    cdf = t.changes_between(v0).toPandas()
+    old = t.scan_at(v0).toPandas().set_index(["conv_id", "turn_idx"])
+    new = t.scan().toPandas().set_index(["conv_id", "turn_idx"])
+    got = cdf.set_index(["conv_id", "turn_idx"])
+    assert set(got[got._change_type == "insert"].index) == (
+        set(new.index) - set(old.index)
+    )
+    assert set(got[got._change_type == "delete"].index) == (
+        set(old.index) - set(new.index)
+    )
+    both = set(new.index) & set(old.index)
+    exp_upd = {
+        k for k in both if new.loc[k, "_last_lsn"] > old.loc[k, "_last_lsn"]
+    }
+    assert set(got[got._change_type == "update"].index) == exp_upd
+
+
 def test_mor_scan_filters_still_exact(spark, tmp_path):
     """Zone-map file skipping is disabled on delta-bearing buckets (skipping
     a base file could promote an older row past the filter) — filtered
