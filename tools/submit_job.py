@@ -35,6 +35,13 @@ def main():
         default="fused",  # matches CdcStream/merge_apply's benchmarked default
     )
     ap.add_argument("--salt-buckets", type=int, default=32)
+    ap.add_argument(
+        "--merge-mode",
+        choices=["cow", "mor"],
+        default="cow",
+        help="mor = delta-append ingest (write cost proportional to batch "
+             "bytes; auto-compaction folds deltas, reads resolve until then)",
+    )
     ap.add_argument("--max-files-per-trigger", type=int, default=4)
     ap.add_argument("--create", action="store_true", help="create table if absent")
     ap.add_argument("--demo-events", type=int, default=0,
@@ -80,6 +87,7 @@ def main():
 
     stream = CdcStream(
         table, args.checkpoint, dedup_strategy=args.dedup,
+        merge_mode=args.merge_mode,
         salt_buckets=args.salt_buckets, on_batch=report,
     )
     events = read_change_event_stream(
