@@ -87,9 +87,10 @@ def _stat_jsonable(v):
 def _harvest_file_stats(path: str, cols: list[str]) -> dict:
     """{col: {"min": v, "max": v}} aggregated over a parquet file's row-group
     footer statistics. A column missing stats in ANY row group is dropped
-    entirely (conservative: no stats → file is never skipped). Driver-side
-    here because the sandbox writes local files; on a real deployment the
-    write tasks return these in their commit messages — same protocol."""
+    entirely (conservative: no stats → file is never skipped). Runs in
+    EXECUTOR tasks (see ``_harvest_stats_job``) — the write commit ships only
+    the metadata-sized stats dicts back to the driver, exactly as Iceberg
+    write tasks return per-file stats in their commit messages."""
     import pyarrow.parquet as pq
 
     agg: dict[str, dict] = {}
@@ -119,6 +120,32 @@ def _harvest_file_stats(path: str, cols: list[str]) -> dict:
                 cur["min"] = min(cur["min"], mn)
                 cur["max"] = max(cur["max"], mx)
     return agg
+
+
+def _harvest_stats_job(spark: SparkSession, paths: list[str], cols: list[str]) -> dict:
+    """Distributed zone-map harvest: footer reads run in executor tasks, the
+    driver receives only {path: {col: {min,max}}} — O(files × stat-cols) tiny
+    dicts, never file bytes. This keeps the commit path free of driver-side
+    per-file work: at 1000 executors × object storage, N footer opens happen
+    where the files live instead of serializing through one driver loop.
+
+    ``parallelize`` + ``mapPartitions`` is the one sanctioned RDD use
+    (per-partition imperative IO); the work unit is a file PATH, not rows.
+    ``_harvest_file_stats`` is resolved by module import INSIDE the task, so
+    the job always runs this module's real harvest in the worker process —
+    which lets tests stub the driver's copy to pin that the driver never
+    harvests."""
+    sc = spark.sparkContext
+    n_slices = max(1, min(len(paths), sc.defaultParallelism))
+    cols = list(cols)
+
+    def part(it):
+        from battetl_spark.lake.table import _harvest_file_stats as harvest
+
+        for p in it:
+            yield p, harvest(p, cols)
+
+    return dict(sc.parallelize(paths, n_slices).mapPartitions(part).collect())
 
 
 def _norm_filter_value(val, stat_sample):
@@ -467,18 +494,11 @@ class LakeTable:
         w.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(out)
         stat_cols = self._stats_cols(snap, df.columns)
         paths = glob.glob(os.path.join(out, f"{BUCKET_COL}=*", "*.parquet"))
-        # footer reads release the GIL in pyarrow IO — harvest concurrently
-        # (a commit writes up to parallelism×files_per_bucket files; serial
-        # opens added ~2s per merge batch, pooled ~0.2s)
+        # zone-map harvest runs as ONE distributed job over the written file
+        # paths (executor-side footer reads); only the stats dicts come back
         all_stats: dict[str, dict] = {}
         if stat_cols and paths:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=min(16, len(paths))) as pool:
-                for p, st in zip(paths, pool.map(
-                    lambda q: _harvest_file_stats(q, stat_cols), paths
-                )):
-                    all_stats[p] = st
+            all_stats = _harvest_stats_job(self.spark, paths, stat_cols)
         files: dict[str, list[dict]] = {}
         for p in paths:
             b = os.path.basename(os.path.dirname(p)).split("=", 1)[1]

@@ -88,6 +88,34 @@ def test_scan_zone_map_file_skipping(spark, tmp_path):
     assert len(none.inputFiles()) == 0 and none.count() == 0
 
 
+def test_stats_harvest_runs_executor_side(spark, tmp_path, monkeypatch):
+    """The commit path must do NO driver-side per-file footer work: the
+    zone-map harvest runs as a distributed job (executor tasks open footers,
+    the driver receives only stats dicts). Pinned by stubbing the DRIVER's
+    harvest function to explode — Python workers re-import the real module,
+    so a commit that harvests on the driver fails while the distributed job
+    still produces stats."""
+    import battetl_spark.lake.table as table_mod
+
+    def driver_harvest_forbidden(path, cols):
+        raise AssertionError(
+            "_harvest_file_stats ran on the driver during a commit"
+        )
+
+    monkeypatch.setattr(table_mod, "_harvest_file_stats", driver_harvest_forbidden)
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_TABLE_SCHEMA,
+                         num_buckets=4, key_cols=KEY_COLS, sort_cols=KEY_COLS)
+    ev = FX.make_change_events(seed=41, n_events=400, n_convs=20, max_turns=4)
+    assert merge_apply(t, FX.change_events_df(spark, ev), epoch_id=0).applied
+
+    snap = t.snapshot()
+    assert any(
+        "stats" in e and "_last_lsn" in e["stats"]
+        for entries in snap["files"].values() for e in entries
+    ), "distributed harvest produced no zone-map stats"
+
+
 def test_scan_filters_exact_without_stats(spark, tmp_path):
     """Backward compat: snapshots whose file entries carry NO zone-map stats
     (pre-round-3 tables) must still serve filtered scans exactly — no file
