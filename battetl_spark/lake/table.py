@@ -201,6 +201,19 @@ class CommitConflict(Exception):
     pass
 
 
+def _bucket_differs(snap_a: dict, snap_b: dict, bucket) -> bool:
+    """Did this bucket's file list change between two snapshots? Fast path:
+    equal manifest POINTERS prove equal entries (manifests are immutable) —
+    an O(1) string compare instead of an O(entries) list compare. Different
+    pointers fall back to the entry compare (a rewrite can reproduce
+    identical content under a new manifest)."""
+    b = str(bucket)
+    pa, pb = snap_a.get("manifests"), snap_b.get("manifests")
+    if pa is not None and pb is not None and pa.get(b) == pb.get(b) and pa.get(b):
+        return False
+    return snap_a["files"].get(b) != snap_b["files"].get(b)
+
+
 def bucket_expr(bucket_key: str, num_buckets: int):
     """Deterministic bucket id for a key — xxhash64-based so any engine stage
     (dedup, merge, scan pruning) derives the same bucket without metadata."""
@@ -213,6 +226,9 @@ class LakeTable:
         self.path = os.path.abspath(path)
         self._meta_dir = os.path.join(self.path, "metadata")
         self._data_dir = os.path.join(self.path, "data")
+        # immutable manifest files (uuid-named, write-once) → safe to cache
+        # per instance; worst case under concurrency is a duplicate read
+        self._manifest_cache: dict[str, dict] = {}
 
     # ------------------------------------------------------------------ setup
     @classmethod
@@ -260,16 +276,66 @@ class LakeTable:
         return os.path.exists(os.path.join(path, "metadata", _HINT))
 
     # ------------------------------------------------------------- snapshots
+    #
+    # Manifest-split metadata (Iceberg's snapshot → manifest-list → manifest
+    # shape): the root ``v{N}.json`` carries everything EXCEPT file entries —
+    # for those it holds only a {bucket → manifest-path} pointer map. The
+    # entries themselves (paths + zone-map stats, the part that grows with
+    # file count) live in immutable ``manifests/m-{uuid}.json`` files, one
+    # written per commit covering ONLY the buckets that commit touched.
+    # Unchanged buckets keep their previous pointer, so per-commit metadata
+    # writes are O(touched-bucket entries + num_buckets pointer strings) —
+    # never O(table files). Reads hydrate ``snap["files"]`` through a cache
+    # of the immutable manifests. Hydrated entry lists are shared with the
+    # cache: mutators must REPLACE lists (the codebase convention), never
+    # mutate them in place — ``commit`` deepcopies before ``mutate`` for
+    # exactly this reason.
     def snapshot(self) -> dict:
         with open(os.path.join(self._meta_dir, _HINT)) as f:
             v = int(f.read().strip())
         with open(os.path.join(self._meta_dir, f"v{v:08d}.json")) as f:
-            return json.load(f)
+            return self._hydrate(json.load(f))
+
+    def _read_manifest(self, rel: str) -> dict:
+        m = self._manifest_cache.get(rel)
+        if m is None:
+            with open(os.path.join(self._meta_dir, rel)) as f:
+                m = json.load(f)
+            self._manifest_cache[rel] = m
+        return m
+
+    def _hydrate(self, snap: dict) -> dict:
+        """Materialize ``snap["files"]`` from manifest pointers (no-op for
+        legacy snapshots that inlined the file lists)."""
+        if "files" not in snap:
+            snap["files"] = {
+                b: self._read_manifest(rel)[b]
+                for b, rel in snap.get("manifests", {}).items()
+            }
+        return snap
 
     def _write_snapshot(self, snap: dict) -> None:
+        files = snap.get("files", {})
+        ptrs = dict(snap.get("manifests") or {})
+        changed: dict[str, list] = {}
+        for b, entries in files.items():
+            rel = ptrs.get(b)
+            if rel is not None and self._read_manifest(rel).get(b) == entries:
+                continue  # unchanged bucket: reuse its manifest pointer
+            changed[b] = entries
+        if changed:
+            os.makedirs(os.path.join(self._meta_dir, "manifests"), exist_ok=True)
+            rel = os.path.join("manifests", f"m-{uuid.uuid4().hex}.json")
+            with open(os.path.join(self._meta_dir, rel), "w") as f:
+                json.dump(changed, f)
+            self._manifest_cache[rel] = changed
+            for b in changed:
+                ptrs[b] = rel
+        snap["manifests"] = {b: p for b, p in ptrs.items() if b in files}
+        root = {k: v for k, v in snap.items() if k != "files"}
         p = os.path.join(self._meta_dir, f"v{snap['version']:08d}.json")
         with open(p, "x") as f:  # exclusive create = optimistic lock
-            json.dump(snap, f)
+            json.dump(root, f)
         tmp = os.path.join(self._meta_dir, f".hint.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(str(snap["version"]))
@@ -558,7 +624,7 @@ class LakeTable:
                 return None  # already committed — exactly-once replay no-op
             if base_snapshot is not None and snap["version"] != base_snapshot["version"]:
                 for b in replaced:
-                    if snap["files"].get(str(b)) != base_snapshot["files"].get(str(b)):
+                    if _bucket_differs(snap, base_snapshot, b):
                         raise CommitConflict(
                             f"bucket {b} changed since snapshot version "
                             f"{base_snapshot['version']} (now {snap['version']}); "
@@ -687,7 +753,7 @@ class LakeTable:
         if not os.path.exists(p):
             raise ValueError(f"snapshot version {version} does not exist")
         with open(p) as f:
-            return json.load(f)
+            return self._hydrate(json.load(f))
 
     def scan_at(self, version: int, include_deleted: bool = False) -> DataFrame:
         """Time travel: read the table as of an earlier snapshot (data files
@@ -704,6 +770,12 @@ class LakeTable:
 
         def mutate(snap):
             snap["files"] = old["files"]
+            # carrying the old manifest pointers lets _write_snapshot reuse
+            # them: a rollback commit writes NO new manifests
+            if "manifests" in old:
+                snap["manifests"] = old["manifests"]
+            else:
+                snap.pop("manifests", None)  # legacy inline-files snapshot
             snap["schema"] = old["schema"]
             snap["schemas"] = {**old["schemas"], **snap["schemas"]}
             snap["current_schema_id"] = old["current_schema_id"]
@@ -749,7 +821,7 @@ class LakeTable:
         changed = sorted(
             int(b)
             for b in set(old_snap["files"]) | set(new_snap["files"])
-            if old_snap["files"].get(b) != new_snap["files"].get(b)
+            if _bucket_differs(old_snap, new_snap, b)
         )
         if not changed:
             return self.spark.createDataFrame(
@@ -874,14 +946,21 @@ class LakeTable:
         )
         retained = versions[-keep_snapshots:]
         live: set[str] = set()
+        live_manifests: set[str] = set()
         for v in retained:
-            with open(os.path.join(self._meta_dir, f"v{v:08d}.json")) as f:
-                s = json.load(f)
+            s = self.snapshot_at(v)
+            live_manifests |= set((s.get("manifests") or {}).values())
             for entries in s["files"].values():
                 for e in entries:
                     live.add(os.path.join(self.path, e["path"]))
         for v in versions[:-keep_snapshots]:
             os.remove(os.path.join(self._meta_dir, f"v{v:08d}.json"))
+        # manifests referenced by no retained root follow their snapshots out
+        for p in glob.glob(os.path.join(self._meta_dir, "manifests", "m-*.json")):
+            rel = os.path.relpath(p, self._meta_dir)
+            if rel not in live_manifests:
+                os.remove(p)
+                self._manifest_cache.pop(rel, None)
         deleted = []
         for p in glob.glob(os.path.join(self._data_dir, "commit-*", "**", "*.parquet"),
                            recursive=True):

@@ -214,6 +214,74 @@ def test_vacuum_tombstones_zone_map_pruned(spark, tmp_path):
     assert t.vacuum_tombstones(below_lsn=10_000_000) is None
 
 
+def test_commit_metadata_scales_with_touched_buckets(spark, tmp_path):
+    """Manifest-split metadata: a commit touching ONE bucket of a wide,
+    fully-populated table must write (a) exactly one new manifest file
+    covering only that bucket and (b) a root JSON that carries NO file
+    entries — so per-commit metadata bytes are O(touched buckets + pointer
+    map), never O(table files)."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from battetl_spark.lake.table import bucket_expr
+
+    NB = 64
+    t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_TABLE_SCHEMA,
+                         num_buckets=NB, key_cols=KEY_COLS, sort_cols=KEY_COLS)
+    ev = FX.make_change_events(seed=51, n_events=4000, n_convs=400, max_turns=4)
+    ins = ev[ev.op != "d"].reset_index(drop=True)
+    assert merge_apply(t, FX.change_events_df(spark, ins), epoch_id=0).applied
+    assert len(t.snapshot()["files"]) >= NB // 2  # table is wide
+
+    meta_dir = tmp_path / "t" / "metadata"
+    before = {p: os.path.getsize(p)
+              for p in glob.glob(str(meta_dir / "**" / "*.json"), recursive=True)}
+
+    # one-key batch → exactly one touched bucket
+    one = t.scan().limit(1).select("conv_id", "turn_idx").first()
+    upd = pd.DataFrame([{
+        "lsn": int(ins.lsn.max()) + 1, "op": "u", "conv_id": one["conv_id"],
+        "turn_idx": np.int32(one["turn_idx"]), "role": "user", "text": "touched",
+        "tool": None, "ts": pd.Timestamp("2026-08-01"),
+        "source_partition": np.int32(0),
+    }])
+    assert merge_apply(t, FX.change_events_df(spark, upd), epoch_id=1).applied
+
+    after = {p: os.path.getsize(p)
+             for p in glob.glob(str(meta_dir / "**" / "*.json"), recursive=True)}
+    new_files = sorted(set(after) - set(before))
+    new_manifests = [p for p in new_files if "/manifests/" in p]
+    new_roots = [p for p in new_files if "/manifests/" not in p]
+    assert len(new_manifests) == 1 and len(new_roots) == 1
+
+    manifest = json.loads(open(new_manifests[0]).read())
+    touched = (
+        t.scan().filter(
+            (F.col("conv_id") == one["conv_id"])
+            & (F.col("turn_idx") == one["turn_idx"])
+        ).select(bucket_expr("conv_id", NB).alias("b")).first()["b"]
+    )
+    assert set(manifest) == {str(touched)}  # only the touched bucket's entries
+
+    root = json.loads(open(new_roots[0]).read())
+    assert "files" not in root  # no inline entries in the root
+    # the touched-bucket commit's metadata is far smaller than the wide
+    # commit's (which wrote every bucket's entries)
+    wide_manifest_bytes = max(
+        os.path.getsize(p) for p in before if "/manifests/" in p
+    )
+    assert os.path.getsize(new_manifests[0]) < wide_manifest_bytes / 10
+
+    # reads still see exactly the merged state
+    got = t.scan().filter(
+        (F.col("conv_id") == one["conv_id"])
+        & (F.col("turn_idx") == one["turn_idx"])
+    ).first()
+    assert got["text"] == "touched"
+
+
 def test_vacuum_files_removes_unreferenced(spark, tmp_path):
     t, expected = build(spark, tmp_path)
     t.compact(min_files_per_bucket=2)
