@@ -526,6 +526,7 @@ class LakeTable:
         df: DataFrame,
         target_partitions: int | None = None,
         files_per_bucket: int = 4,
+        shuffle: bool = True,
     ) -> dict[str, list[str]]:
         """Write rows (must carry BUCKET_COL) into a fresh commit dir,
         one hive-style subdir per bucket; returns {bucket: [rel paths]}.
@@ -544,17 +545,23 @@ class LakeTable:
         # child, executing the whole upstream merge pipeline twice; measured
         # 17% slower). Hash by bucket alone idles ~40% of cores (collisions);
         # hash by (bucket, full key) writes n_out × B tiny files.
-        n_out = target_partitions or max(
-            1, df.sparkSession.sparkContext.defaultParallelism * 2
-        )
-        lead = (sort_cols or [BUCKET_COL])[0]
-        # seeded independently of bucket_expr: pmod(xxhash64(key), B) and
-        # pmod(xxhash64(key), S) are correlated when S divides B (the salt
-        # would collapse to bucket % S and never split a bucket)
-        salt = F.pmod(
-            F.xxhash64(F.col(lead), F.lit(0x5A17)), F.lit(max(1, files_per_bucket))
-        )
-        w = df.repartition(n_out, F.col(BUCKET_COL), salt)
+        if shuffle:
+            n_out = target_partitions or max(
+                1, df.sparkSession.sparkContext.defaultParallelism * 2
+            )
+            lead = (sort_cols or [BUCKET_COL])[0]
+            # seeded independently of bucket_expr: pmod(xxhash64(key), B) and
+            # pmod(xxhash64(key), S) are correlated when S divides B (the salt
+            # would collapse to bucket % S and never split a bucket)
+            salt = F.pmod(
+                F.xxhash64(F.col(lead), F.lit(0x5A17)), F.lit(max(1, files_per_bucket))
+            )
+            w = df.repartition(n_out, F.col(BUCKET_COL), salt)
+        else:
+            # caller guarantees rows are already usefully partitioned (e.g.
+            # rebucket: child bucket is a refinement of the parent the task
+            # read) — partitionBy fans each task into its buckets' dirs
+            w = df
         if sort_cols:
             w = w.sortWithinPartitions(BUCKET_COL, *sort_cols)
         w.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(out)
@@ -896,6 +903,62 @@ class LakeTable:
             rows, crowded, target_partitions=len(crowded), files_per_bucket=1,
             base_snapshot=snap,
         )
+
+    def rebucket(self, new_num_buckets: int) -> dict:
+        """Grow the bucket count in one snapshot-atomic rewrite — the first
+        maintenance operation a table seeded small needs at 100× growth.
+
+        ``pmod(xxhash64(k), M)`` with ``old_N | M`` REFINES the old
+        bucketing: every row of old bucket b lands in one of its children
+        ``{b, b+old_N, …, b+(f−1)·old_N}`` (f = M/old_N), never in another
+        parent's child. The split is bucket-local, so the rewrite runs with
+        NO shuffle: each task fans the parent rows it read into their child
+        directories via ``partitionBy`` — one read+write pass of the table,
+        zero exchanges (pinned by ``test_rebucket_plan_no_shuffle``). At
+        100 TB the pass parallelizes per-file and writes stay node-local.
+
+        Power-of-two factor required (any multiple satisfies the
+        congruence; 2^k keeps successive splits composable). MOR deltas are
+        folded (scan resolves them) and tombstones carried. The commit is
+        conflict-detected against ANY concurrent commit — the state the
+        rewrite read must still be current, else ``CommitConflict`` (retry
+        the whole operation). Fences, schema history and properties carry
+        forward: a resuming stream keeps its exactly-once guarantees over
+        the new layout, and CDF across the transition reports no spurious
+        changes (row versions are untouched)."""
+        snap = self.snapshot()
+        old_n = int(snap["num_buckets"])
+        factor = new_num_buckets // old_n if old_n else 0
+        if (
+            new_num_buckets <= old_n
+            or old_n * factor != new_num_buckets
+            or factor & (factor - 1)
+        ):
+            raise ValueError(
+                f"rebucket target {new_num_buckets} must be old bucket count "
+                f"({old_n}) × a power of two"
+            )
+        rows = self.scan(snap=snap, include_deleted=True).withColumn(
+            BUCKET_COL, bucket_expr(snap["bucket_key"], new_num_buckets)
+        )
+        new_files = self._write_data(rows, shuffle=False)
+
+        def mutate(s):
+            if s["version"] != snap["version"]:
+                raise CommitConflict(
+                    f"table changed during rebucket (snapshot "
+                    f"{snap['version']} → {s['version']}); retry rebucket"
+                )
+            sid = s["current_schema_id"]
+            s["num_buckets"] = int(new_num_buckets)
+            s["files"] = {
+                b: [{**e, "schema_id": sid} for e in entries]
+                for b, entries in new_files.items()
+            }
+            s["lineage"] = []
+            return s
+
+        return self.commit(mutate)
 
     def vacuum_tombstones(self, below_lsn: int) -> dict | None:
         """Drop tombstones with _last_lsn < below_lsn (older than the
