@@ -1,2 +1,3 @@
 from battetl_spark.analytics.cycle_stats import calc_cycle_stats  # noqa: F401
 from battetl_spark.analytics.rollups import conversation_stats  # noqa: F401
+from battetl_spark.analytics.cache import cache_scope  # noqa: F401

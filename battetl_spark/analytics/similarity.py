@@ -31,6 +31,8 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from battetl_spark.analytics.cache import track as _track
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -225,10 +227,11 @@ def embedding_near_dup_pairs(
     rows_per_band: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_bits: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: banded random-hyperplane LSH
-    candidates + exact-cosine verify (the embedding member of the dedup
-    family beside exact/minhash/simhash/ngram).
+    candidates (multi-probe) + exact-cosine verify (the embedding member of
+    the dedup family beside exact/minhash/simhash/ngram).
 
     Parameter math (12 bands × 12 planes, p = 1 - θ/π per plane):
     - random pairs (cos ≈ 0, p = 0.5) collide per band at 2^-12 ≈ 0.024%,
@@ -236,10 +239,16 @@ def embedding_near_dup_pairs(
       (the previous 6-plane bands collided at 1.6% per band, which on an
       N²-pair corpus is a third of all pairs — measured 665k candidates on
       2k vectors; now ~6k);
-    - true near-dups: miss prob (1-p^12)^12 ≈ 3e-5 at cos 0.99, ≈ 2%
-      at 0.95, ≈ 13% at exactly 0.90 — recall at the threshold boundary is
-      probabilistic (banded hyperplane LSH cannot guarantee recall at 0.9
-      without impractical plane counts); emitted pairs are always EXACT
+    - true near-dups, exact-bucket only (``probe_bits=0``): miss prob
+      (1-p^12)^12 ≈ 3e-5 at cos 0.99, ≈ 2% at 0.95, ≈ 13% at exactly 0.90;
+    - **multi-probe** (``probe_bits=1``, the default): one side of the
+      self-join additionally probes every 1-bit-flip neighbor bucket per
+      band, so a band hits when ≤1 of its 12 plane signs disagree —
+      per-band hit prob p^12 + 12·p^11·(1−p), miss across 12 bands
+      ≈ 5e-4 at cos exactly 0.90 (was ~13%), ≈ 1e-6 at 0.95. Cost: the
+      probe side emits 13× band rows and random-pair collisions rise
+      ~13× (≈ 4% of random pairs across all bands) — still candidate-
+      bucketed, never all-pairs, and every emitted pair remains EXACT
       (verified cosine ≥ threshold, filter on raw, emit rounded).
 
     Scale shape: signatures are built by posexplode + partial-sum
@@ -254,6 +263,8 @@ def embedding_near_dup_pairs(
     never needs to reproduce the planes — and signatures adapt to the
     actual vector length, so no ``dim`` parameter is needed (unlike the
     literal-plane ANN entry points)."""
+    if probe_bits not in (0, 1):
+        raise ValueError("probe_bits must be 0 (exact buckets) or 1 (1-bit probes)")
     n_planes = bands * rows_per_band
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
@@ -280,11 +291,11 @@ def embedding_near_dup_pairs(
                 for p in range(n_planes)
             ]
         )
-        # signature store: the banded self-join references this frame on
-        # both sides — persist so the corpus is projected once (N×planes
-        # longs, spills if ever large)
-        .persist()
     )
+    # signature store: the banded self-join references this frame on both
+    # sides — persist (scope-tracked) so the corpus is projected once
+    # (N×planes longs, spills if ever large)
+    sig = _track(sig)
 
     def band_bucket(b: int):
         bucket = F.lit(0)
@@ -293,18 +304,36 @@ def embedding_near_dup_pairs(
             bucket = bucket + bit.cast("int") * F.lit(1 << r)
         return bucket
 
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bkt"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bkt")
-    a, b_ = banded.alias("a"), banded.alias("b")
+    # materialize bucket ids ONCE per band, then derive probe variants from
+    # the materialized column — structs referencing a shared complex expr
+    # would re-expand the 12-bit sum per probe (the Catalyst re-expansion
+    # lesson, CLAUDE.md)
+    buckets = sig.select(
+        F.col(id_col), *[band_bucket(b).alias(f"__b{b}") for b in range(bands)]
+    )
+
+    def explode_buckets(probe: bool) -> DataFrame:
+        entries = []
+        for b in range(bands):
+            col = F.col(f"__b{b}")
+            entries.append(F.struct(F.lit(b).alias("band"), col.alias("bkt")))
+            if probe and probe_bits >= 1:
+                # 1-bit-flip neighbor buckets: a band then matches any
+                # signature disagreeing on at most one plane
+                entries.extend(
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        col.bitwiseXOR(F.lit(1 << r)).alias("bkt"),
+                    )
+                    for r in range(rows_per_band)
+                )
+        return buckets.select(
+            F.col(id_col), F.explode(F.array(*entries)).alias("bb")
+        ).select(id_col, "bb.band", "bb.bkt")
+
+    # probing ONE side suffices: bucket XOR is symmetric, and either
+    # orientation of (id_a < id_b) puts the probing side on every pair
+    a, b_ = explode_buckets(probe=True).alias("a"), explode_buckets(False).alias("b")
     cand = (
         a.join(
             b_,

@@ -9,8 +9,10 @@ shingle frames (the candidate self-join and exact-verify joins reference
 them 2-5×; recomputing the corpus pipeline per reference dominated the
 bench). The cache is MEMORY_AND_DISK and evicted LRU; the returned
 DataFrames are lazy so there is no in-function unpersist point — a
-long-lived session sweeping MANY corpora should `spark.catalog.clearCache()`
-between corpora (bench.py does exactly this between query reps).
+long-lived session sweeping MANY corpora should wrap each corpus in
+``battetl_spark.analytics.cache.cache_scope()`` (scoped unpersist) or
+`spark.catalog.clearCache()` between corpora (bench.py does the latter
+between query reps).
 
 Scale design notes (these run over O(10^9) docs):
 - exact dedup: one hash-groupBy shuffle on a 16-byte digest, partial agg
@@ -48,6 +50,8 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from battetl_spark.analytics.cache import track as _track
 
 # ----------------------------------------------------------------- cleaning
 
@@ -313,7 +317,7 @@ def minhash_lsh_pairs(
     # signature store: banding references sigs on both join sides; persist
     # or every side re-shingles + re-minhashes the corpus (K aggregates over
     # the full token stream). N×(id, K longs).
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k).persist()
+    sigs = _track(minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k))
     cand = _banded_candidates(
         sigs, id_col, num_hashes, rows_per_band, min_band_matches
     )
@@ -332,9 +336,9 @@ def minhash_lsh_pairs(
         )
     # the verify join references the shingle sets twice (id_a, id_b sides) —
     # persist so the corpus is shingled once, not twice more
-    with_sh = docs.select(
+    with_sh = _track(docs.select(
         F.col(id_col), word_shingle_hashes(text_col, shingle_k).alias("sh")
-    ).persist()
+    ))
     return _exact_jaccard_over(cand, with_sh, id_col, jaccard_threshold)
 
 
@@ -407,7 +411,7 @@ def ngram_jaccard_pairs(
     # with_sh is referenced FOUR times (both prefix self-join sides + both
     # verify sides); for the frequency ordering it is itself a multi-shuffle
     # pipeline — persist so the corpus is shingled/ordered exactly once
-    with_sh = with_sh.persist()
+    with_sh = _track(with_sh)
     prefix_len = (
         F.size("sh") - F.ceil(F.lit(float(threshold)) * F.size("sh")).cast("int") + 1
     )
@@ -571,7 +575,7 @@ def simhash_near_dups(
     # signature frame on BOTH sides, and without a persist each side
     # re-runs the whole corpus-wide tokenize+md5+64-vote pipeline (2× the
     # dominant cost, measured). N×(id, 2 longs) — spills if ever large.
-    sig = simhash_signatures(docs, id_col, text_col).persist()
+    sig = _track(simhash_signatures(docs, id_col, text_col))
     mask = F.lit(0xFFFF)
     blocked = sig.select(
         F.col(id_col),

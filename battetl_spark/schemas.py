@@ -67,8 +67,10 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("rows_updated", T.LongType(), False),
         T.StructField("rows_deleted", T.LongType(), False),
         # CommitConflict rebases this merge absorbed before committing —
-        # visibility into multi-writer contention (0 = clean first attempt)
-        T.StructField("rebases", T.LongType(), False),
+        # visibility into multi-writer contention (0 = clean first attempt).
+        # Nullable: metrics parquet written before the column existed reads
+        # as NULL under this schema / mergeSchema instead of erroring
+        T.StructField("rebases", T.LongType(), True),
         T.StructField("snapshot_id", T.LongType(), False),
         T.StructField("committed_at", T.TimestampNTZType(), False),
     ]

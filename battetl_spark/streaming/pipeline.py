@@ -165,11 +165,15 @@ class CdcStream:
                 # lineage. Recover the epoch's lineage from the
                 # snapshot-embedded copy and append it exactly once (guarded
                 # by the lacks-this-epoch check above).
-                rows = self._lineage_rows_for_epoch(epoch_id)
-                if not rows:
+                rows, fencing_seen = self._lineage_rows_for_epoch(epoch_id)
+                if not rows and not fencing_seen:
                     # recoverable only while the fencing snapshot's metadata
                     # survives — if vacuum_files dropped it before the replay,
-                    # say so loudly instead of silently losing the epoch
+                    # say so loudly instead of silently losing the epoch.
+                    # (fencing_seen distinguishes the benign case: the run
+                    # that fenced this epoch had collect_lineage=False, so
+                    # its retained snapshot legitimately carries no lineage
+                    # — a config difference, not data loss; no warning.)
                     import warnings
 
                     warnings.warn(
@@ -213,25 +217,42 @@ class CdcStream:
         m = spark.read.schema(LINEAGE_SCHEMA).parquet(self.metrics_dir)
         return m.filter(F.col("epoch_id") == int(epoch_id)).limit(1).count() > 0
 
-    def _lineage_rows_for_epoch(self, epoch_id: int) -> list[dict]:
+    def _lineage_rows_for_epoch(self, epoch_id: int) -> tuple[list[dict], bool]:
         """This epoch's lineage rows from the snapshot metadata (the commit
-        that fenced the epoch embedded them atomically with the data)."""
+        that fenced the epoch embedded them atomically with the data).
+
+        Returns ``(rows, fencing_commit_seen)``: the second flag is True
+        when the PROVABLE fencing commit is still retained (the earliest
+        retained snapshot carrying the fence, whose parent is retained and
+        does NOT carry it) — if that commit has no lineage for the epoch,
+        lineage collection was simply off when it ran, not vacuumed away."""
         import glob
         import json
         import os
 
         meta = os.path.join(self.table.path, "metadata")
+        epoch = int(epoch_id)
+        snaps = []
         for p in sorted(glob.glob(os.path.join(meta, "v*.json"))):
             with open(p) as f:
-                snap = json.load(f)
+                snaps.append(json.load(f))
+        fenced_versions = set()
+        for snap in snaps:
+            if str(epoch) in snap.get("fences", {}):
+                fenced_versions.add(snap["version"])
             rows = [
                 {**r, "snapshot_id": snap["snapshot_id"]}
                 for r in snap.get("lineage", [])
-                if r.get("epoch_id") == int(epoch_id)
+                if r.get("epoch_id") == epoch
             ]
             if rows:
-                return rows
-        return []
+                return rows, True
+        retained = {s["version"] for s in snaps}
+        fencing_seen = any(
+            v - 1 in retained and v - 1 not in fenced_versions
+            for v in fenced_versions
+        )
+        return [], fencing_seen
 
     def start(
         self,

@@ -107,6 +107,113 @@ def test_partitioned_log_replays_equal_to_single_log(spark, tmp_path, events_pdf
     assert payload_state(t4).equals(expected)
 
 
+def test_kafka_envelope_replay_equal(spark, tmp_path, events_pdf):
+    """The Kafka envelope adapter must produce the exact change-event
+    envelope FilePartitionedLog produces for the same events: publish to
+    the file log, re-frame its segments as Kafka records (binary key/value,
+    partition, offset), adapt, and compare — then replay both through the
+    merge and compare final table state."""
+    from battetl_spark.streaming import (
+        change_events_to_kafka,
+        kafka_to_change_events,
+    )
+
+    log = build_skewed_log(spark, str(tmp_path / "log"), events_pdf)
+    envelope = log.read_all()
+
+    kafka_frame = change_events_to_kafka(envelope, P)
+    assert set(kafka_frame.columns) == {
+        "key", "value", "topic", "partition", "offset", "timestamp"
+    }
+    assert dict(kafka_frame.dtypes)["value"] == "binary"
+    adapted = kafka_to_change_events(kafka_frame, P)
+
+    a = envelope.orderBy("lsn").toPandas().reset_index(drop=True)
+    b = adapted.orderBy("lsn").toPandas().reset_index(drop=True)
+    assert a.columns.tolist() == b.columns.tolist()
+    assert a.equals(b)
+
+    # and the adapted stream replays to the identical table state
+    t = fresh_table(spark, str(tmp_path / "t"))
+    from battetl_spark.cdc import merge_apply
+
+    merge_apply(t, adapted, epoch_id=0)
+    expected = FX.pandas_oracle_replay(None, events_pdf)[PAYLOAD].reset_index(
+        drop=True
+    )
+    assert payload_state(t).equals(expected)
+
+
+def test_publish_crash_leaves_log_consistent(spark, tmp_path, events_pdf):
+    """A crash mid-publish must not corrupt the log: a segment dir is
+    invisible to readers until renamed into seg-*, and a retry after any
+    crash point collides with nothing. Simulated by failing the rename."""
+    import os
+
+    log = FilePartitionedLog.create(spark, str(tmp_path / "log"), P)
+    ev = FX.change_events_df(spark, events_pdf)
+    half = int(events_pdf["lsn"].median())
+    first = ev.filter(F.col("lsn") <= half)
+    second = ev.filter(F.col("lsn") > half)
+    log.publish(first)
+
+    real_rename = os.rename
+    import unittest.mock as mock
+
+    def exploding_rename(src, dst):
+        raise OSError("injected crash before segment rename")
+
+    with mock.patch("battetl_spark.streaming.log_source.os.rename",
+                    exploding_rename):
+        with pytest.raises(OSError):
+            log.publish(second)
+
+    # the half-published segment is invisible: readers see only the first
+    visible = log.read_all()
+    assert visible.count() == first.count()
+
+    # retry succeeds and the log converges to the full event set with
+    # collision-free lsns (offset gaps from the crashed attempt are fine)
+    log.publish(second)
+    rows = log.read_all()
+    assert rows.count() == ev.count()
+    assert rows.select("lsn").distinct().count() == rows.count()
+    # keys still partition-sticky
+    assert (
+        rows.groupBy("conv_id")
+        .agg(F.countDistinct("source_partition").alias("k"))
+        .filter(F.col("k") > 1).count() == 0
+    )
+
+
+def test_publish_same_seq_offsets_deterministic(spark, tmp_path):
+    """Two events sharing a seq value must get a stable relative order
+    (key/op tiebreak) — publish the same frame into two logs and compare
+    assigned offsets row-for-row."""
+    import pandas as pd
+
+    pdf = FX.make_change_events(seed=88, n_events=200, n_convs=10, max_turns=4)
+    pdf = pdf.copy()
+    pdf["lsn"] = (pdf["lsn"] // 4) * 4  # force heavy seq ties
+    # rows fully tied on (seq, key, turn, op) have no defined relative
+    # order even with the tiebreak — exclude them, they aren't the contract
+    pdf = pdf.drop_duplicates(subset=["lsn", "conv_id", "turn_idx", "op"])
+    ev = FX.change_events_df(spark, pdf)
+
+    frames = []
+    for name in ("a", "b"):
+        log = FilePartitionedLog.create(spark, str(tmp_path / name), P)
+        # shuffle input partitioning differently per log
+        log.publish(ev.repartition(3 if name == "a" else 7))
+        frames.append(
+            log.read_all()
+            .orderBy("conv_id", "turn_idx", "op", "text", "lsn")
+            .select("lsn", "conv_id", "turn_idx", "op")
+            .toPandas().reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
 def test_partitioned_log_resume_from_checkpoint(spark, tmp_path, events_pdf):
     log = build_skewed_log(spark, str(tmp_path / "log"), events_pdf)
     t = fresh_table(spark, str(tmp_path / "t"))

@@ -263,6 +263,47 @@ def test_metrics_feed_heals_after_crash_between_commit_and_append(
     assert t.lineage_df().count() == len(m)
 
 
+def test_metrics_heal_no_spurious_warning_when_lineage_was_off(
+    spark, tmp_path, base_pdf, events_pdf
+):
+    """ADVICE fix: if the run that FENCED an epoch had collect_lineage=False,
+    its snapshot legitimately carries no lineage — a resumed stream with
+    collect_lineage=True must treat the empty heal as a config difference,
+    not warn 'vacuumed before replay?' (which misreads it as data loss)."""
+    import warnings
+
+    src = str(tmp_path / "events-nolin")
+    write_event_files(spark, events_pdf, src, k=3)
+    t = seeded(spark, str(tmp_path / "table-nolin"), base_pdf)
+    metrics = str(tmp_path / "metrics-nolin")
+    ckpt = str(tmp_path / "ckpt-nolin")
+
+    crashed = {"done": False}
+
+    def injector(epoch_id, phase):
+        if epoch_id == 1 and phase == "after_merge" and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash between commit and metrics")
+
+    # fencing run collects NO lineage, crashes between commit and metrics
+    stream = CdcStream(t, ckpt, metrics_dir=metrics, collect_lineage=False,
+                       fail_injector=injector)
+    with pytest.raises(Exception):
+        stream.run_to_completion(read_change_event_stream(spark, src))
+    assert crashed["done"]
+
+    # resume WITH lineage: the fenced epoch has no snapshot lineage to heal
+    # from, but the fencing commit is retained → benign, no warning
+    stream2 = CdcStream(t, ckpt, metrics_dir=metrics)
+    with warnings.catch_warnings():
+        # catch_warnings mutates the GLOBAL filter list, so the foreachBatch
+        # callback thread sees it too: the heal warning would fail the batch
+        warnings.filterwarnings(
+            "error", message="metrics heal", category=RuntimeWarning
+        )
+        stream2.run_to_completion(read_change_event_stream(spark, src))
+
+
 def test_two_table_exactly_once_stats_catchup_after_crash(
     spark, tmp_path, base_pdf, events_pdf, expected
 ):

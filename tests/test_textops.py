@@ -72,6 +72,23 @@ def test_minhash_lsh_finds_planted_near_dups(spark, docs):
     assert hits >= 4  # minhash is probabilistic; ≥4/5 at j≈0.95
 
 
+def test_cache_scope_releases_operator_persists(spark, docs):
+    """ADVICE fix: the near-dup operators persist signature frames with no
+    in-function unpersist point; cache_scope() must release every frame
+    persisted inside it once the caller materialized its results — a
+    long-lived session sweeping many corpora stops accumulating caches."""
+    from battetl_spark.analytics import cache_scope
+    from battetl_spark.analytics.cache import _scope_stack
+
+    with cache_scope():
+        TX.minhash_lsh_pairs(docs.limit(50), jaccard_threshold=0.5).collect()
+        assert _scope_stack and len(_scope_stack[-1]) >= 1
+        assert all(df.is_cached for df in _scope_stack[-1])
+        tracked = list(_scope_stack[-1])
+    assert not _scope_stack
+    assert all(not df.is_cached for df in tracked)
+
+
 def test_ngram_jaccard_pairs(spark, docs):
     planted = (
         docs.orderBy("doc_id").limit(3)
@@ -303,6 +320,53 @@ def test_embedding_near_dup_pairs(spark, emb):
     assert (out.cos_sim >= 0.9).all()
     # clean corpus: no pair is near-dup at 0.9
     assert embedding_near_dup_pairs(emb, threshold=0.9).count() == 0
+
+
+def test_embedding_near_dup_boundary_multiprobe(spark, emb):
+    """Round-3 verdict task #5: pairs planted AT the threshold boundary
+    (cos ∈ [0.905, 0.92], where exact-bucket banding missed ~13%) must all
+    be recovered by the default 1-bit multi-probe; probe_bits=0 keeps the
+    old exact-bucket behavior, and emitted pairs stay exact either way."""
+    import numpy as np
+
+    from battetl_spark.analytics.similarity import embedding_near_dup_pairs
+
+    pdf = emb.limit(10).toPandas()
+    rng = np.random.default_rng(7)
+    planted = []
+    for i, row in pdf.iterrows():
+        u = np.array(row["embedding"], dtype=np.float64)
+        u /= np.linalg.norm(u)
+        w = rng.normal(0, 1, len(u))
+        w -= w.dot(u) * u
+        w /= np.linalg.norm(w)
+        target = 0.905 + 0.0015 * i  # cos ∈ [0.905, 0.9185]
+        v = target * u + np.sqrt(1 - target * target) * w
+        planted.append({
+            "vec_id": int(row["vec_id"]) + 500_000,
+            "embedding": (v * 10.0).astype(np.float32).tolist(),
+            "label": int(row["label"]),
+        })
+    import pandas as pd
+
+    cols = [f.name for f in emb.schema.fields]
+    corpus = emb.unionByName(
+        spark.createDataFrame(pd.DataFrame(planted)[cols], emb.schema)
+    )
+    out = embedding_near_dup_pairs(corpus, threshold=0.9).toPandas()
+    boundary = out[out.id_b - out.id_a == 500_000]
+    assert len(boundary) == 10  # multi-probe recovers every boundary pair
+    assert (boundary.cos_sim.between(0.90, 0.92)).all()  # and they're exact
+
+    # exact-bucket mode still available and never emits false positives
+    old = embedding_near_dup_pairs(corpus, threshold=0.9, probe_bits=0).toPandas()
+    assert (old.cos_sim >= 0.9).all()
+    assert set(map(tuple, old[["id_a", "id_b"]].values)) <= set(
+        map(tuple, out[["id_a", "id_b"]].values)
+    )
+
+    with pytest.raises(ValueError):
+        embedding_near_dup_pairs(corpus, probe_bits=2)
 
 
 def test_clean_corpus_pipeline(spark, docs):
