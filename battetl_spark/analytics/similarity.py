@@ -227,11 +227,12 @@ def embedding_near_dup_pairs(
     rows_per_band: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    probe_bits: int = 1,
+    probes: int = 2,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: banded random-hyperplane LSH
-    candidates (multi-probe) + exact-cosine verify (the embedding member of
-    the dedup family beside exact/minhash/simhash/ngram).
+    candidates (query-directed multi-probe) + exact-cosine verify (the
+    embedding member of the dedup family beside exact/minhash/simhash/
+    ngram).
 
     Parameter math (12 bands × 12 planes, p = 1 - θ/π per plane):
     - random pairs (cos ≈ 0, p = 0.5) collide per band at 2^-12 ≈ 0.024%,
@@ -239,16 +240,19 @@ def embedding_near_dup_pairs(
       (the previous 6-plane bands collided at 1.6% per band, which on an
       N²-pair corpus is a third of all pairs — measured 665k candidates on
       2k vectors; now ~6k);
-    - true near-dups, exact-bucket only (``probe_bits=0``): miss prob
+    - true near-dups, exact-bucket only (``probes=0``): miss prob
       (1-p^12)^12 ≈ 3e-5 at cos 0.99, ≈ 2% at 0.95, ≈ 13% at exactly 0.90;
-    - **multi-probe** (``probe_bits=1``, the default): one side of the
-      self-join additionally probes every 1-bit-flip neighbor bucket per
-      band, so a band hits when ≤1 of its 12 plane signs disagree —
-      per-band hit prob p^12 + 12·p^11·(1−p), miss across 12 bands
-      ≈ 5e-4 at cos exactly 0.90 (was ~13%), ≈ 1e-6 at 0.95. Cost: the
-      probe side emits 13× band rows and random-pair collisions rise
-      ~13× (≈ 4% of random pairs across all bands) — still candidate-
-      bucketed, never all-pairs, and every emitted pair remains EXACT
+    - **query-directed multi-probe** (``probes=2``, the default): one side
+      of the self-join additionally probes, per band, the buckets reached
+      by flipping each of its ``probes`` SMALLEST-|margin| planes — the
+      planes most likely to disagree on a true near-dup (classic
+      multi-probe LSH). Monte-Carlo (20k trials, this exact scheme): miss
+      ≈ 0.9% at cos exactly 0.90 (was ~13%), ≈ 0.2% at 0.92, ≈ 0.02% at
+      0.95. Cost: the probe side emits (1+probes)× band rows, so random
+      -pair collisions rise ~3× (≈ 0.9% across all bands) — far below the
+      13× of undirected 1-bit probing (``probes=12`` gives exactly that:
+      every 1-flip neighbor, miss ≈ 7e-4 at 0.90). Still candidate
+      -bucketed, never all-pairs; every emitted pair remains EXACT
       (verified cosine ≥ threshold, filter on raw, emit rounded).
 
     Scale shape: signatures are built by posexplode + partial-sum
@@ -263,20 +267,22 @@ def embedding_near_dup_pairs(
     never needs to reproduce the planes — and signatures adapt to the
     actual vector length, so no ``dim`` parameter is needed (unlike the
     literal-plane ANN entry points)."""
-    if probe_bits not in (0, 1):
-        raise ValueError("probe_bits must be 0 (exact buckets) or 1 (1-bit probes)")
+    if not 0 <= probes <= rows_per_band:
+        raise ValueError(
+            f"probes must be in [0, rows_per_band={rows_per_band}] "
+            "(0 = exact buckets, rows_per_band = every 1-flip neighbor)"
+        )
     n_planes = bands * rows_per_band
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
     # one exploded row per (vector, dim); each plane's dot is a SUM aggregate
     # of sign(p, pos) * q — codegen'd sums beat interpreted higher-order
-    # folds by ~10× (measured 2.4s → 0.35s per pass)
-    def sign(p: int):
-        return F.lit(1) - F.lit(2) * F.pmod(
-            F.xxhash64(F.lit(p), F.col("__pos")), F.lit(2)
-        )
-
+    # folds by ~10× (measured 2.4s → 0.35s per pass).
+    # The 144 sum expressions are built as SQL STRINGS (one parser call
+    # each) instead of Column-object composition: each F.xx call is a py4j
+    # round-trip, and the ~1000 calls of the Column version cost ~1.7s of
+    # DRIVER build per query (measured) — the expr() build is ~50ms.
     sig = (
         v.select(
             id_col,
@@ -287,7 +293,10 @@ def embedding_near_dup_pairs(
         .groupBy(id_col)
         .agg(
             *[
-                F.sum(sign(p) * F.col("__q")).alias(f"__d{p}")
+                F.expr(
+                    f"sum((1 - 2 * pmod(xxhash64({p}, __pos), 2)) * __q)"
+                    f" AS __d{p}"
+                )
                 for p in range(n_planes)
             ]
         )
@@ -297,38 +306,51 @@ def embedding_near_dup_pairs(
     # (N×planes longs, spills if ever large)
     sig = _track(sig)
 
-    def band_bucket(b: int):
-        bucket = F.lit(0)
-        for r in range(rows_per_band):
-            bit = F.col(f"__d{b * rows_per_band + r}") >= 0
-            bucket = bucket + bit.cast("int") * F.lit(1 << r)
-        return bucket
+    # materialize bucket ids (and each band's lowest-|margin| flip masks)
+    # ONCE per band, then derive probe variants from the materialized
+    # columns — structs referencing a shared complex expr would re-expand
+    # the 12-bit sum per probe (the Catalyst re-expansion lesson,
+    # CLAUDE.md). All built as SQL strings for the same driver-build
+    # reason as the signature sums (~2.1s → ~50ms measured).
+    def band_bucket_sql(b: int) -> str:
+        return " + ".join(
+            f"CAST(__d{b * rows_per_band + r} >= 0 AS INT) * {1 << r}"
+            for r in range(rows_per_band)
+        ) + f" AS __b{b}"
 
-    # materialize bucket ids ONCE per band, then derive probe variants from
-    # the materialized column — structs referencing a shared complex expr
-    # would re-expand the 12-bit sum per probe (the Catalyst re-expansion
-    # lesson, CLAUDE.md)
-    buckets = sig.select(
-        F.col(id_col), *[band_bucket(b).alias(f"__b{b}") for b in range(bands)]
+    def flip_masks_sql(b: int) -> str:
+        """Masks (2^r) of this band's ``probes`` smallest-|dot| planes —
+        the signs most likely to disagree on a true near-dup."""
+        margins = ", ".join(
+            f"named_struct('m', abs(__d{b * rows_per_band + r}), 'r', {r})"
+            for r in range(rows_per_band)
+        )
+        # 2^r via pow: shiftleft() takes only a literal shift amount;
+        # exact in doubles for r ≤ 30
+        return (
+            f"transform(slice(array_sort(array({margins})), 1, {probes}), "
+            "s -> CAST(pow(2.0D, CAST(s.r AS DOUBLE)) AS INT))"
+            f" AS __f{b}"
+        )
+
+    buckets = sig.selectExpr(
+        f"`{id_col}`",
+        *[band_bucket_sql(b) for b in range(bands)],
+        *([flip_masks_sql(b) for b in range(bands)] if probes else []),
     )
 
     def explode_buckets(probe: bool) -> DataFrame:
         entries = []
         for b in range(bands):
-            col = F.col(f"__b{b}")
-            entries.append(F.struct(F.lit(b).alias("band"), col.alias("bkt")))
-            if probe and probe_bits >= 1:
-                # 1-bit-flip neighbor buckets: a band then matches any
-                # signature disagreeing on at most one plane
+            entries.append(f"named_struct('band', {b}, 'bkt', __b{b})")
+            if probe and probes:
                 entries.extend(
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        col.bitwiseXOR(F.lit(1 << r)).alias("bkt"),
-                    )
-                    for r in range(rows_per_band)
+                    f"named_struct('band', {b}, "
+                    f"'bkt', __b{b} ^ element_at(__f{b}, {j + 1}))"
+                    for j in range(probes)
                 )
-        return buckets.select(
-            F.col(id_col), F.explode(F.array(*entries)).alias("bb")
+        return buckets.selectExpr(
+            f"`{id_col}`", f"explode(array({', '.join(entries)})) AS bb"
         ).select(id_col, "bb.band", "bb.bkt")
 
     # probing ONE side suffices: bucket XOR is symmetric, and either

@@ -46,8 +46,6 @@ extension required by the build brief.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -228,13 +226,15 @@ def minhash_signatures(
     sh = docs.select(
         F.col(id_col), F.explode(word_shingle_hashes(text_col, shingle_k)).alias("__s")
     )
+    # SQL-string aggregates: one parser call each instead of ~4 py4j calls
+    # each (driver-build cost, see simhash_signatures)
     aggs = [
-        F.min(F.xxhash64("__s", F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)
+        F.expr(f"min(xxhash64(__s, {i})) AS __h{i}") for i in range(num_hashes)
     ]
     sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("minhash"),
+    return sig.selectExpr(
+        f"`{id_col}`",
+        f"array({', '.join(f'__h{i}' for i in range(num_hashes))}) AS minhash",
     )
 
 
@@ -255,24 +255,16 @@ def _banded_candidates(
     self-join on (band, band_hash) + one count — balanced keys, no cross
     product."""
     bands = num_hashes // rows_per_band
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.get("minhash", b * rows_per_band + i)
-                                for i in range(rows_per_band)
-                            ]
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+    entries = ", ".join(
+        f"named_struct('band', {b}, 'bh', xxhash64("
+        + ", ".join(
+            f"minhash[{b * rows_per_band + i}]" for i in range(rows_per_band)
+        )
+        + "))"
+        for b in range(bands)
+    )
+    banded = sigs.selectExpr(
+        f"`{id_col}`", f"explode(array({entries})) AS bb"
     ).select(id_col, "bb.band", "bb.bh")
     a, b = banded.alias("a"), banded.alias("b")
     matches = a.join(
@@ -488,14 +480,6 @@ def clean_corpus(
 
 # ------------------------------------------------------------------ simhash
 
-_HEX = "0123456789abcdef"
-
-
-def _token_bit(digit_col, bit_in_digit: int):
-    """Bit of a token's 64-bit hash, decoded from an md5 hex digit value."""
-    return F.shiftright(digit_col, bit_in_digit).bitwiseAND(F.lit(1))
-
-
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -507,39 +491,46 @@ def simhash_signatures(
 
     The md5-hex-digit bit derivation (instead of xxhash64) makes signatures
     reproducible bit-for-bit in the DuckDB oracle."""
+    # the 16 digit projections / 64 vote sums / 64 half terms are SQL
+    # STRINGS (one parser round-trip each) rather than Column composition —
+    # the ~500 py4j calls of the Column build cost ~1.2s of DRIVER time per
+    # query (same lesson as the embedding signature build, similarity.py)
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("__t"),
-    )
-    h = F.md5("__t")
+    ).selectExpr(f"`{id_col}`", "md5(__t) AS __h")
 
     # hex digit value via ascii arithmetic: '0'-'9' → 48-57, 'a'-'f' → 97-102
     # (md5 emits lowercase). Same value as conv(digit, 16, 10) at ~3× less
     # cost — conv is a general-radix string parse, 16 of them per token.
-    def hexval(d: int):
-        a = F.ascii(F.substring(h, d + 1, 1))
-        return (a - 48 - F.when(a >= 97, 39).otherwise(0)).alias(f"__d{d}")
-
-    digits = toks.select(F.col(id_col), *[hexval(d) for d in range(16)])
+    digits = toks.selectExpr(
+        f"`{id_col}`",
+        *[
+            f"ascii(substring(__h, {d + 1}, 1)) - 48 - "
+            f"IF(ascii(substring(__h, {d + 1}, 1)) >= 97, 39, 0) AS __d{d}"
+            for d in range(16)
+        ],
+    )
     votes = [
-        F.sum(
-            F.when(_token_bit(F.col(f"__d{b // 4}"), b % 4) == 1, 1).otherwise(-1)
-        ).alias(f"__v{b}")
+        F.expr(
+            f"sum(IF(((shiftright(__d{b // 4}, {b % 4}) & 1) = 1), 1, -1))"
+            f" AS __v{b}"
+        )
         for b in range(64)
     ]
     sig = digits.groupBy(id_col).agg(*votes)
 
-    def half(bits):
-        terms = [
-            F.when(F.col(f"__v{b}") > 0, F.lit(1 << (b - bits[0]))).otherwise(F.lit(0))
-            for b in bits
-        ]
-        return reduce(lambda x, y: x + y, terms).cast("long")
+    def half_sql(bits):
+        # L-suffixed literals force BIGINT terms (ANSI-safe: the int-only
+        # prefix sum peaks at exactly 2^31 − 1)
+        return " + ".join(
+            f"IF(__v{b} > 0, {1 << (b - bits[0])}L, 0L)" for b in bits
+        )
 
-    return sig.select(
-        F.col(id_col),
-        half(range(32, 64)).alias("sig_hi"),
-        half(range(0, 32)).alias("sig_lo"),
+    return sig.selectExpr(
+        f"`{id_col}`",
+        f"CAST({half_sql(range(32, 64))} AS BIGINT) AS sig_hi",
+        f"CAST({half_sql(range(0, 32))} AS BIGINT) AS sig_lo",
     )
 
 

@@ -325,8 +325,9 @@ def test_embedding_near_dup_pairs(spark, emb):
 def test_embedding_near_dup_boundary_multiprobe(spark, emb):
     """Round-3 verdict task #5: pairs planted AT the threshold boundary
     (cos ∈ [0.905, 0.92], where exact-bucket banding missed ~13%) must all
-    be recovered by the default 1-bit multi-probe; probe_bits=0 keeps the
-    old exact-bucket behavior, and emitted pairs stay exact either way."""
+    be recovered by the default query-directed multi-probe; probes=0 keeps
+    the old exact-bucket behavior, and emitted pairs stay exact either
+    way."""
     import numpy as np
 
     from battetl_spark.analytics.similarity import embedding_near_dup_pairs
@@ -359,14 +360,14 @@ def test_embedding_near_dup_boundary_multiprobe(spark, emb):
     assert (boundary.cos_sim.between(0.90, 0.92)).all()  # and they're exact
 
     # exact-bucket mode still available and never emits false positives
-    old = embedding_near_dup_pairs(corpus, threshold=0.9, probe_bits=0).toPandas()
+    old = embedding_near_dup_pairs(corpus, threshold=0.9, probes=0).toPandas()
     assert (old.cos_sim >= 0.9).all()
     assert set(map(tuple, old[["id_a", "id_b"]].values)) <= set(
         map(tuple, out[["id_a", "id_b"]].values)
     )
 
     with pytest.raises(ValueError):
-        embedding_near_dup_pairs(corpus, probe_bits=2)
+        embedding_near_dup_pairs(corpus, probes=13)
 
 
 def test_clean_corpus_pipeline(spark, docs):
