@@ -201,6 +201,14 @@ class CommitConflict(Exception):
     pass
 
 
+def _is_fenced(snap: dict, epoch_id: int) -> bool:
+    """Epoch already applied? Either folded under the fence floor (see
+    ``compact_fences``) or present in the per-epoch fence map."""
+    return int(epoch_id) <= int(snap.get("fence_floor", -1)) or str(
+        epoch_id
+    ) in snap["fences"]
+
+
 def _bucket_differs(snap_a: dict, snap_b: dict, bucket) -> bool:
     """Did this bucket's file list change between two snapshots? Fast path:
     equal manifest POINTERS prove equal entries (manifests are immutable) —
@@ -626,7 +634,7 @@ class LakeTable:
 
         def mutate(snap):
             state["fenced"] = False
-            if fence is not None and str(fence["epoch_id"]) in snap["fences"]:
+            if fence is not None and _is_fenced(snap, fence["epoch_id"]):
                 state["fenced"] = True
                 return None  # already committed — exactly-once replay no-op
             if base_snapshot is not None and snap["version"] != base_snapshot["version"]:
@@ -689,7 +697,7 @@ class LakeTable:
 
         def mutate(s):
             state["fenced"] = False
-            if fence is not None and str(fence["epoch_id"]) in s["fences"]:
+            if fence is not None and _is_fenced(s, fence["epoch_id"]):
                 state["fenced"] = True
                 return None  # exactly-once replay no-op
             sid = schema_id or s["current_schema_id"]
@@ -749,10 +757,52 @@ class LakeTable:
 
     # ----------------------------------------------------------- fence/meta
     def has_fence(self, epoch_id: int) -> bool:
-        return str(epoch_id) in self.snapshot()["fences"]
+        return _is_fenced(self.snapshot(), epoch_id)
 
     def fences(self) -> dict:
         return self.snapshot()["fences"]
+
+    def fence_floor(self) -> int:
+        """Highest epoch folded into the fence floor (-1 if none): every
+        epoch ≤ floor is fenced without a per-epoch map entry."""
+        return int(self.snapshot().get("fence_floor", -1))
+
+    def compact_fences(self) -> dict | None:
+        """Fold the maximal CONTIGUOUS fenced epoch prefix into a single
+        ``fence_floor`` watermark, dropping those epochs' map entries.
+
+        The fence map otherwise grows one entry per epoch forever — at
+        10^10 events / 10^5 epochs that is megabytes of fence JSON copied
+        into every snapshot root, the same O(history) metadata leak the
+        manifest split removed for file lists. Folding is unconditionally
+        safe: only epochs whose every predecessor is also fenced fold, so
+        ``has_fence`` answers identically before and after (a gap epoch —
+        never applied — stops the fold and is never spuriously fenced).
+        Per-epoch fence payloads (max_lsn, partition offsets) are dropped
+        for folded epochs; the lineage history in older snapshots keeps
+        them until vacuum. Returns the new snapshot, or None if nothing
+        folded. Safe to call periodically from a maintenance loop."""
+        state = {"folded": False}
+
+        def mutate(snap):
+            state["folded"] = False
+            floor = int(snap.get("fence_floor", -1))
+            fenced = {int(k) for k in snap["fences"]}
+            new_floor = floor
+            while new_floor + 1 in fenced:
+                new_floor += 1
+            if new_floor == floor:
+                return None
+            snap["fence_floor"] = new_floor
+            snap["fences"] = {
+                k: v for k, v in snap["fences"].items() if int(k) > new_floor
+            }
+            snap["lineage"] = []
+            state["folded"] = True
+            return snap
+
+        out = self.commit(mutate)
+        return out if state["folded"] else None
 
     # ------------------------------------------------------------ time travel
     def snapshot_at(self, version: int) -> dict:

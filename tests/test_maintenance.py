@@ -282,6 +282,46 @@ def test_commit_metadata_scales_with_touched_buckets(spark, tmp_path):
     assert got["text"] == "touched"
 
 
+def test_compact_fences_folds_contiguous_prefix(spark, tmp_path):
+    """The fence map must not grow O(epochs) forever: compact_fences folds
+    the maximal CONTIGUOUS fenced prefix into one fence_floor watermark —
+    folded epochs still replay as no-ops, a gap epoch (never applied) stops
+    the fold and is never spuriously fenced."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_TABLE_SCHEMA,
+                         num_buckets=4, key_cols=KEY_COLS, sort_cols=KEY_COLS)
+    ev = FX.make_change_events(seed=71, n_events=600, n_convs=20, max_turns=4)
+    chunks = np.array_split(ev, 4)
+    # epochs 0,1,2 applied; 3 skipped (gap); 4 applied
+    batches = {0: chunks[0], 1: chunks[1], 2: chunks[2], 4: chunks[3]}
+    for e, ch in batches.items():
+        assert merge_apply(t, FX.change_events_df(spark, ch.reset_index(drop=True)),
+                           epoch_id=e).applied
+    state_before = state(t)
+
+    snap = t.compact_fences()
+    assert snap is not None
+    assert t.fence_floor() == 2  # the gap at 3 stops the fold
+    assert set(t.fences()) == {"4"}  # 0..2 folded away, 4 kept
+    # folded epochs still fence: replay of epoch 1 is a no-op
+    v0 = t.snapshot()["version"]
+    assert not merge_apply(
+        t, FX.change_events_df(spark, chunks[1].reset_index(drop=True)), epoch_id=1
+    ).applied
+    assert t.snapshot()["version"] == v0
+    for e in (0, 1, 2, 4):
+        assert t.has_fence(e)
+    assert not t.has_fence(3)  # gap epoch remains un-fenced
+    assert_pdf_equal(state(t), state_before, KEY_COLS)
+
+    # nothing more to fold until the gap closes...
+    assert t.compact_fences() is None
+    # ...and once it does, a second compaction folds through it
+    gap = FX.make_change_events(seed=72, n_events=50, n_convs=5, max_turns=3)
+    assert merge_apply(t, FX.change_events_df(spark, gap), epoch_id=3).applied
+    assert t.compact_fences() is not None
+    assert t.fence_floor() == 4 and t.fences() == {}
+
+
 def test_vacuum_files_removes_unreferenced(spark, tmp_path):
     t, expected = build(spark, tmp_path)
     t.compact(min_files_per_bucket=2)

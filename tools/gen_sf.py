@@ -11,10 +11,14 @@ deterministic (hash-derived mutations, no RNG state):
 - fact/dim keys shift by copy × (max_key + 1), consistently across tables
   (orders.o_custkey shifts with customer.c_custkey etc.), so joins keep
   exactly the source's fan-out while group/key cardinality grows K×.
-- documents: copy 0 verbatim; copies > 0 substitute ~25% of words (hash
+- documents: copy 0 verbatim; copies > 0 substitute ~50% of words (hash
   -selected per copy) so no cross-copy pair is an exact, minhash, simhash
-  or ngram near-dup — the dedup benches measure scale, not a K²-pair
-  explosion of planted duplicates.
+  or ngram near-dup — NOR a banded-LSH candidate (at 25% mutation the
+  cross-copy Jaccard lands ≈0.27, where r=2 banding makes ~70% of the
+  K²·N same-doc pairs candidates: +20s of exact-verify work at sf1 that
+  measures the generator, not the engine; at 50% the candidate rate is
+  <8%). The dedup benches measure scale, not a planted-duplicate
+  explosion.
 - embeddings: copy 0 verbatim; copies > 0 get fully hash-generated vectors
   (near-orthogonal to everything) for the same reason.
 """
@@ -80,7 +84,7 @@ def scale_dir(spark, src: str, out: str, k: int) -> None:
             F.transform(
                 words,
                 lambda w: F.when(
-                    F.pmod(F.xxhash64(w, F.lit(c)), F.lit(4)) == 0,
+                    F.pmod(F.xxhash64(w, F.lit(c)), F.lit(2)) == 0,
                     F.concat(w, F.lit(f"_{c}")),
                 ).otherwise(w),
             ),
