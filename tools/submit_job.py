@@ -42,6 +42,15 @@ def main():
         help="mor = delta-append ingest (write cost proportional to batch "
              "bytes; auto-compaction folds deltas, reads resolve until then)",
     )
+    ap.add_argument(
+        "--source",
+        choices=["files", "log"],
+        default="files",
+        help="files = parquet change-event dirs under --events-dir; "
+             "log = a FilePartitionedLog at --events-dir (Kafka-shaped "
+             "partitioned log; a real deployment swaps in "
+             "kafka_to_change_events over readStream.format('kafka'))",
+    )
     ap.add_argument("--max-files-per-trigger", type=int, default=4)
     ap.add_argument("--create", action="store_true", help="create table if absent")
     ap.add_argument("--demo-events", type=int, default=0,
@@ -90,9 +99,17 @@ def main():
         merge_mode=args.merge_mode,
         salt_buckets=args.salt_buckets, on_batch=report,
     )
-    events = read_change_event_stream(
-        spark, args.events_dir, max_files_per_trigger=args.max_files_per_trigger
-    )
+    if args.source == "log":
+        from battetl_spark.streaming import FilePartitionedLog
+
+        events = FilePartitionedLog.open(spark, args.events_dir).read_stream(
+            max_files_per_trigger=args.max_files_per_trigger
+        )
+    else:
+        events = read_change_event_stream(
+            spark, args.events_dir,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
     if args.continuous:
         q = stream.start(events, available_now=False, processing_time="10 seconds")
         q.awaitTermination()
