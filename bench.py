@@ -131,6 +131,11 @@ def main():
     timings: dict[str, float] = {}
     # warm the JVM/codegen on a trivial action so the first timed query is fair
     spark.range(1_000_000).count()
+    # pay the merge-path JIT once, untimed: a fresh JVM's first replay runs
+    # ~5s slower than its second purely from codegen/JIT of the merge plan
+    # shapes (measured 18.5 vs 13.4 at sf0.1) — the replay metric is the
+    # engine's warm capability, matching the warm/cold split for analytics
+    run_cdc_merge(spark, 100_000, n_batches=2)
 
     # two replays, best-of reported: this VM's hypervisor steal swings
     # single runs ±45-60% (BENCH/BASELINE.md); both raw runs are recorded
