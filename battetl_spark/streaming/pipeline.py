@@ -90,6 +90,7 @@ class CdcStream:
         on_batch=None,
         fail_injector=None,
         auto_compact_files: int | None = 16,
+        auto_compact_fences_every: int | None = 64,
         metrics_dir: str | None = None,
         stats_table: LakeTable | None = None,
     ):
@@ -110,6 +111,12 @@ class CdcStream:
         # None disables. Compaction is itself a snapshot-atomic copy-on-write
         # commit with conflict detection, so a crash mid-compact is harmless.
         self.auto_compact_files = auto_compact_files
+        # the fence map otherwise grows one entry per epoch for the stream's
+        # lifetime (O(epochs) JSON copied into every snapshot root); folding
+        # the contiguous fenced prefix every N applied batches keeps it
+        # O(recent epochs). None disables. Safe anywhere in the loop —
+        # compact_fences never un-fences an epoch.
+        self.auto_compact_fences_every = auto_compact_fences_every
         # metrics table: per-partition lineage rows (source offsets, commit
         # snapshot-id, row counts) appended per batch — the queryable metrics
         # feed beside the fenced merge. Idempotent under replay: a replayed
@@ -139,6 +146,14 @@ class CdcStream:
             self.fail_injector(epoch_id, "after_merge")
         if self.auto_compact_files is not None and result.applied:
             self.table.compact(min_files_per_bucket=self.auto_compact_files)
+        if (
+            self.auto_compact_fences_every is not None
+            and result.applied
+            and epoch_id % self.auto_compact_fences_every == 0
+        ):
+            self.table.compact_fences()
+            if self.stats_table is not None:
+                self.stats_table.compact_fences()
         if self.stats_table is not None and not self.stats_table.has_fence(epoch_id):
             from battetl_spark.cdc.stats_maintenance import refresh_stats
 

@@ -117,7 +117,10 @@ def test_long_stream_auto_compaction_bounds_files(
         read_change_event_stream(spark, src, max_files_per_trigger=1),
         timeout_s=1800,
     )
-    assert len(t.fences()) == 50
+    # every epoch fenced (default auto fence-compaction may fold a prefix
+    # into the floor watermark — has_fence spans both)
+    assert all(t.has_fence(e) for e in range(50))
+    assert int(t.fence_floor()) + len(t.fences()) + 1 >= 50
     snap = t.snapshot()
     worst = max(len(entries) for entries in snap["files"].values())
     # threshold 6 + at most a handful of post-compaction commits before the
@@ -261,6 +264,74 @@ def test_metrics_feed_heals_after_crash_between_commit_and_append(
     # exactly once per (epoch, source_partition) — the heal didn't duplicate
     assert len(m) == len(m[["epoch_id", "source_partition"]].drop_duplicates())
     assert t.lineage_df().count() == len(m)
+
+
+def test_stream_auto_fence_compaction_bounds_fence_map(
+    spark, tmp_path, base_pdf, events_pdf, expected
+):
+    """A long-lived stream must not grow the fence map O(epochs): with
+    auto_compact_fences_every set, the contiguous fenced prefix folds into
+    fence_floor during the loop, replay fencing still holds, and the final
+    state is oracle-equal."""
+    src = str(tmp_path / "events-fc")
+    write_event_files(spark, events_pdf, src, k=12)
+    t = seeded(spark, str(tmp_path / "table-fc"), base_pdf)
+    stream = CdcStream(t, str(tmp_path / "ckpt-fc"), auto_compact_fences_every=4)
+    stream.run_to_completion(read_change_event_stream(spark, src))
+
+    assert t.fence_floor() >= 7  # most epochs folded during the run
+    assert len(t.fences()) <= 4  # map holds only the un-folded tail
+    for e in range(12):
+        assert t.has_fence(e)
+    assert_pdf_equal(state(t), expected, KEY_COLS)
+
+    # a resumed stream over the same source replays nothing
+    v0 = t.snapshot()["version"]
+    CdcStream(t, str(tmp_path / "ckpt-fc")).run_to_completion(
+        read_change_event_stream(spark, src)
+    )
+    assert t.snapshot()["version"] == v0
+
+
+def test_kafka_adapter_streaming_frame(spark, tmp_path, base_pdf, events_pdf, expected):
+    """kafka_to_change_events is a pure column mapping, so it must compose
+    with a STREAMING frame: kafka-shaped records tailed via readStream →
+    adapter → CdcStream replays to the oracle state."""
+    from pyspark.sql import functions as F
+
+    from battetl_spark.streaming import change_events_to_kafka, kafka_to_change_events
+
+    P = 4
+    env = FX.change_events_df(spark, events_pdf)
+    part = (F.pmod(F.xxhash64("conv_id"), F.lit(P))).cast("int")
+    # build per-partition-ordered kafka records: offset dense per partition
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(part).orderBy("lsn")
+    enveloped = env.withColumn(
+        "lsn",
+        ((F.row_number().over(w) - 1) * P + part).cast("long"),
+    )
+    kafka_dir = str(tmp_path / "kafka-frames")
+    frames = change_events_to_kafka(enveloped, P)
+    for i in range(3):
+        frames.filter(F.pmod(F.col("offset"), F.lit(3)) == i).coalesce(1) \
+            .write.mode("append").parquet(kafka_dir)
+
+    t = seeded(spark, str(tmp_path / "table-kf"), base_pdf)
+    raw = (
+        spark.readStream.schema(frames.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(kafka_dir)
+    )
+    CdcStream(t, str(tmp_path / "ckpt-kf")).run_to_completion(
+        kafka_to_change_events(raw, P)
+    )
+    # lsns were renumbered by the kafka framing; payload state must match
+    pay = [c for c in ALL_COLS if c != "_last_lsn"]
+    got = t.scan().orderBy(*KEY_COLS).toPandas()[pay].reset_index(drop=True)
+    exp = expected[pay].reset_index(drop=True)
+    assert got.equals(exp)
 
 
 def test_metrics_heal_no_spurious_warning_when_lineage_was_off(

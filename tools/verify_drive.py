@@ -131,7 +131,7 @@ try:
     import json as _json, os as _o
     root = _json.load(open(_o.path.join(
         tbl.path, "metadata", f"v{tbl.snapshot()['version']:08d}.json")))
-    assert "files" not in root and root.get("manifests"), "manifest split broken"
+    assert "files" not in root and root.get("manifests_inv"), "manifest split broken"
     # rebucket: 8 → 32 keeps state byte-identical and pruning exact
     pre = tbl.scan().orderBy(*KEY_COLS).toPandas()[ALL_COLS].reset_index(drop=True)
     assert tbl.rebucket(32)["num_buckets"] == 32
