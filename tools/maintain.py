@@ -1,0 +1,77 @@
+"""spark-submit maintenance entry point for a LakeTable.
+
+The four operations a long-lived CDC table needs, each snapshot-atomic and
+safe beside a running stream (conflict-detected where they rewrite data):
+
+  compact           fold crowded buckets (and MOR deltas) into one file each
+  vacuum-tombstones drop delete fences older than the reorder horizon
+  vacuum-files      GC data files + manifests unreachable from retained
+                    snapshots; prune old snapshot roots
+  compact-fences    fold the contiguous fenced-epoch prefix into the floor
+  rebucket          power-of-two bucket-count growth (shuffle-free rewrite)
+
+Cluster usage:
+
+  spark-submit --py-files engine.zip tools/maintain.py \
+      --table s3://.../transcripts compact --min-files 8
+
+Local smoke:
+
+  python tools/maintain.py --table /tmp/t compact-fences
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True)
+    sub = ap.add_subparsers(dest="op", required=True)
+    p = sub.add_parser("compact")
+    p.add_argument("--min-files", type=int, default=4)
+    p = sub.add_parser("vacuum-tombstones")
+    p.add_argument("--below-lsn", type=int, required=True)
+    p = sub.add_parser("vacuum-files")
+    p.add_argument("--keep-snapshots", type=int, default=2)
+    sub.add_parser("compact-fences")
+    p = sub.add_parser("rebucket")
+    p.add_argument("--num-buckets", type=int, required=True)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from battetl_spark.lake import LakeTable
+
+    spark = SparkSession.builder.appName("battetl_spark-maintain").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    table = LakeTable.load(spark, args.table)
+
+    def ver(snap):
+        return "no-op" if snap is None else "v" + str(snap["version"])
+
+    if args.op == "compact":
+        print("compact: " + ver(table.compact(min_files_per_bucket=args.min_files)))
+    elif args.op == "vacuum-tombstones":
+        print("vacuum-tombstones: "
+              + ver(table.vacuum_tombstones(below_lsn=args.below_lsn)))
+    elif args.op == "vacuum-files":
+        deleted = table.vacuum_files(keep_snapshots=args.keep_snapshots)
+        print(f"vacuum-files: {len(deleted)} files reclaimed")
+    elif args.op == "compact-fences":
+        snap = table.compact_fences()
+        floor = table.fence_floor()
+        print(f"compact-fences: {'no-op' if snap is None else 'folded'} "
+              f"(floor={floor}, map={len(table.fences())})")
+    elif args.op == "rebucket":
+        snap = table.rebucket(args.num_buckets)
+        print(f"rebucket: v{snap['version']} num_buckets={snap['num_buckets']}")
+
+
+if __name__ == "__main__":
+    main()
