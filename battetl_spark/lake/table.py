@@ -287,7 +287,8 @@ class LakeTable:
     #
     # Manifest-split metadata (Iceberg's snapshot → manifest-list → manifest
     # shape): the root ``v{N}.json`` carries everything EXCEPT file entries —
-    # for those it holds only a {bucket → manifest-path} pointer map. The
+    # for those it holds only a manifest pointer map (stored inverted as
+    # {manifest-path → [bucket ids]}, see ``_expand_manifest_index``). The
     # entries themselves (paths + zone-map stats, the part that grows with
     # file count) live in immutable ``manifests/m-{uuid}.json`` files, one
     # written per commit covering ONLY the buckets that commit touched.
