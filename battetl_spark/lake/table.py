@@ -235,8 +235,13 @@ class LakeTable:
         self._meta_dir = os.path.join(self.path, "metadata")
         self._data_dir = os.path.join(self.path, "data")
         # immutable manifest files (uuid-named, write-once) → safe to cache
-        # per instance; worst case under concurrency is a duplicate read
+        # per instance; worst case under concurrency is a duplicate read.
+        # Bounded LRU (insertion-ordered dict, move-to-end on hit): a
+        # long-lived CdcStream writer otherwise holds one superseded entry
+        # dict per commit forever — manifests are immutable, so evicting and
+        # re-reading on miss is always safe
         self._manifest_cache: dict[str, dict] = {}
+        self._manifest_cache_cap = 64
 
     # ------------------------------------------------------------------ setup
     @classmethod
@@ -321,11 +326,13 @@ class LakeTable:
         return snap
 
     def _read_manifest(self, rel: str) -> dict:
-        m = self._manifest_cache.get(rel)
+        m = self._manifest_cache.pop(rel, None)  # pop+reinsert = move to end
         if m is None:
             with open(os.path.join(self._meta_dir, rel)) as f:
                 m = json.load(f)
-            self._manifest_cache[rel] = m
+        self._manifest_cache[rel] = m
+        while len(self._manifest_cache) > self._manifest_cache_cap:
+            self._manifest_cache.pop(next(iter(self._manifest_cache)))
         return m
 
     def _hydrate(self, snap: dict) -> dict:
@@ -354,6 +361,8 @@ class LakeTable:
             with open(os.path.join(self._meta_dir, rel), "w") as f:
                 json.dump(changed, f)
             self._manifest_cache[rel] = changed
+            while len(self._manifest_cache) > self._manifest_cache_cap:
+                self._manifest_cache.pop(next(iter(self._manifest_cache)))
             for b in changed:
                 ptrs[b] = rel
         snap["manifests"] = {b: p for b, p in ptrs.items() if b in files}

@@ -52,7 +52,9 @@ _VALUE_SCHEMA = T.StructType(
 )
 
 
-def kafka_to_change_events(frame: DataFrame, n_partitions: int) -> DataFrame:
+def kafka_to_change_events(
+    frame: DataFrame, n_partitions: int, malformed: str = "fail"
+) -> DataFrame:
     """Map a ``spark.read[Stream].format("kafka")``-shaped frame into the
     change-event envelope (pure column mapping — works on batch and
     streaming frames alike; round-3 verdict "What's missing #3").
@@ -71,14 +73,43 @@ def kafka_to_change_events(frame: DataFrame, n_partitions: int) -> DataFrame:
     Everything downstream (CdcStream, merge_apply, fences, lineage) is
     unchanged; in production only this mapping swaps in front of
     ``spark.readStream.format("kafka")``.
+
+    ``malformed`` controls corrupt-record policy (``from_json`` PERMISSIVE
+    mode would otherwise turn an unparseable value into a row with a valid
+    lsn but NULL op/conv_id that flows silently into ``merge_apply``):
+
+    - ``"fail"`` (default): FAILFAST JSON parse, plus a ``raise_error`` guard
+      on a NULL ``op`` after a syntactically-valid parse (wrong shape /
+      missing required field) — the batch errors loudly at the source.
+    - ``"drop"``: rows whose payload parses to a NULL ``op`` are filtered
+      out; route the complement (``op IS NULL`` on the permissive parse) to
+      a dead-letter sink yourself if you need to retain them.
     """
-    payload = F.from_json(F.col("value").cast("string"), _VALUE_SCHEMA)
-    return frame.select(
+    if malformed not in ("fail", "drop"):
+        raise ValueError(f"malformed policy {malformed!r}: use 'fail' or 'drop'")
+    opts = {"mode": "FAILFAST"} if malformed == "fail" else {}
+    payload = F.from_json(F.col("value").cast("string"), _VALUE_SCHEMA, opts)
+    out = frame.select(
         (F.col("offset").cast("long") * int(n_partitions)
          + F.col("partition").cast("long")).alias("lsn"),
         *[payload[f.name].alias(f.name) for f in _VALUE_SCHEMA.fields],
         F.col("partition").cast("int").alias("source_partition"),
+        F.col("value").cast("string").alias("__raw"),
     )
+    if malformed == "fail":
+        out = out.withColumn(
+            "op",
+            F.when(
+                F.col("op").isNull(),
+                F.raise_error(
+                    F.concat(F.lit("malformed change event payload: "),
+                             F.coalesce(F.col("__raw"), F.lit("<null>")))
+                ).cast("string"),
+            ).otherwise(F.col("op")),
+        )
+    else:
+        out = out.filter(F.col("op").isNotNull())
+    return out.drop("__raw")
 
 
 def change_events_to_kafka(envelope: DataFrame, n_partitions: int) -> DataFrame:
@@ -91,7 +122,10 @@ def change_events_to_kafka(envelope: DataFrame, n_partitions: int) -> DataFrame:
         .cast("binary").alias("value"),
         F.lit("transcript-cdc").alias("topic"),
         F.pmod(F.col("lsn"), F.lit(n_partitions)).cast("int").alias("partition"),
-        (F.col("lsn") / F.lit(n_partitions)).cast("long").alias("offset"),
+        # integer division — (lsn / P).cast('long') goes through a double,
+        # which rounds for lsn beyond 2^53 and can silently corrupt the
+        # offset round-trip
+        F.expr(f"lsn div {int(n_partitions)}").alias("offset"),
         F.col("ts").alias("timestamp"),
     )
 
@@ -170,7 +204,17 @@ class FilePartitionedLog:
         segment numbers are derived from the visible ``seg-*`` dirs, not
         the meta counter); a crash between meta update and rename leaves an
         offset gap in the affected partitions, which is harmless (lsns stay
-        monotone per partition; nothing downstream assumes density)."""
+        monotone per partition; nothing downstream assumes density).
+
+        Stale ``.tmp-*`` dirs (a crash before the rename) are swept here:
+        any temp dir present when a NEW publish starts is by construction
+        abandoned — the single-writer contract means no other publish is
+        mid-rename — so the sweep reclaims the leaked disk instead of
+        accumulating invisible orphans forever."""
+        import shutil
+
+        for stale in _glob.glob(os.path.join(self._data, ".tmp-*")):
+            shutil.rmtree(stale, ignore_errors=True)
         meta = self.meta()
         p_count = meta["n_partitions"]
         part = F.pmod(F.xxhash64(F.col(meta["key_col"])), F.lit(p_count)).cast("int")

@@ -237,3 +237,83 @@ def test_partitioned_log_resume_from_checkpoint(spark, tmp_path, events_pdf):
         drop=True
     )
     assert payload_state(t).equals(expected)
+
+
+def test_kafka_offset_decompose_exact_for_huge_lsn(spark):
+    """lsn → (offset, partition) decomposition must be exact integer math:
+    float division rounds beyond ~2^53 and silently corrupts the offset
+    (round-5 ADVICE). Round-trip lsns near 2^60 through the Kafka framing."""
+    from battetl_spark.streaming import (
+        change_events_to_kafka,
+        kafka_to_change_events,
+    )
+
+    p = 3  # non-power-of-two: float division is inexact
+    big = [(1 << 60) + k for k in (1, 2, 5, 7, 11)] + [(1 << 53) + 3, 12345]
+    pdf = FX.make_change_events(seed=9, n_events=20, n_convs=3, max_turns=4)
+    pdf = pdf.head(len(big)).copy()
+    pdf["lsn"] = big
+    env = FX.change_events_df(spark, pdf)
+    back = kafka_to_change_events(change_events_to_kafka(env, p), p)
+    got = sorted(r["lsn"] for r in back.select("lsn").collect())
+    assert got == sorted(big)
+
+
+def _kafka_frame(spark, values: list[bytes]):
+    import datetime
+
+    rows = [
+        (b"k", v, "transcript-cdc", i % P, i // P,
+         datetime.datetime(2024, 1, 1, 0, 0, i))
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(
+        rows, "key binary, value binary, topic string, partition int, "
+              "offset long, timestamp timestamp",
+    )
+
+
+def test_kafka_malformed_payload_policies(spark):
+    """Corrupt Kafka values must not flow silently into the merge: 'fail'
+    errors loudly (unparseable JSON or a parsed payload missing op);
+    'drop' filters them (round-5 ADVICE)."""
+    from battetl_spark.streaming import kafka_to_change_events
+
+    good = (b'{"op":"insert","conv_id":"c1","turn_idx":0,"role":"user",'
+            b'"text":"hi","tool":null,"ts":"2024-01-01T00:00:00"}')
+    bad_json = b"{not json at all"
+    missing_op = (b'{"conv_id":"c2","turn_idx":1,"role":"user","text":"x",'
+                  b'"tool":null,"ts":"2024-01-01T00:00:00"}')
+
+    dropped = kafka_to_change_events(
+        _kafka_frame(spark, [good, bad_json, missing_op]), P, malformed="drop"
+    )
+    rows = dropped.collect()
+    assert [r["conv_id"] for r in rows] == ["c1"]
+
+    for bad in (bad_json, missing_op):
+        frame = _kafka_frame(spark, [good, bad])
+        with pytest.raises(Exception):
+            kafka_to_change_events(frame, P, malformed="fail").collect()
+
+    with pytest.raises(ValueError):
+        kafka_to_change_events(_kafka_frame(spark, [good]), P, malformed="nope")
+
+
+def test_publish_sweeps_stale_tmp_dirs(spark, tmp_path, events_pdf):
+    """Orphaned .tmp-* segment dirs (crash before rename) are reclaimed by
+    the next publish instead of leaking forever (round-5 ADVICE)."""
+    import glob
+    import os
+
+    log = FilePartitionedLog.create(spark, str(tmp_path / "log"), P)
+    data_dir = os.path.join(str(tmp_path / "log"), "data")
+    stale = os.path.join(data_dir, ".tmp-deadbeef")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk.parquet"), "w") as f:
+        f.write("junk")
+
+    ev = FX.change_events_df(spark, events_pdf).limit(50)
+    log.publish(ev)
+    assert glob.glob(os.path.join(data_dir, ".tmp-*")) == []
+    assert log.read_all().count() == 50

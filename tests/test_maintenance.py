@@ -377,3 +377,32 @@ def test_vacuum_reclaims_fence_noop_orphans(spark, tmp_path):
     deleted = set(t.vacuum_files(keep_snapshots=10))
     assert orphans <= deleted  # every orphan reclaimed
     assert t.scan().orderBy(*KEY_COLS).toPandas().equals(before_state)
+
+
+def test_manifest_cache_bounded_lru(spark, tmp_path):
+    """A long-lived writer must not hold O(commits) manifest dicts: the
+    per-instance cache is a bounded LRU — evicted entries re-read from the
+    immutable file on miss (round-5 ADVICE)."""
+    import json
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_TABLE_SCHEMA,
+                         num_buckets=4, key_cols=KEY_COLS, sort_cols=KEY_COLS)
+    mdir = os.path.join(t.path, "metadata", "manifests")
+    os.makedirs(mdir, exist_ok=True)
+    cap = t._manifest_cache_cap
+    rels = []
+    for i in range(cap * 3):
+        rel = os.path.join("manifests", f"m-lru{i:04d}.json")
+        with open(os.path.join(t.path, "metadata", rel), "w") as f:
+            json.dump({"0": [{"path": f"data/fake{i}.parquet"}]}, f)
+        rels.append(rel)
+        t._read_manifest(rel)
+        assert len(t._manifest_cache) <= cap
+    # oldest entries evicted, newest retained; evicted re-read works
+    assert rels[-1] in t._manifest_cache
+    assert rels[0] not in t._manifest_cache
+    assert t._read_manifest(rels[0])["0"][0]["path"] == "data/fake0.parquet"
+    # LRU order: touching an old-but-cached entry protects it
+    victim = next(iter(t._manifest_cache))
+    t._read_manifest(victim)
+    assert next(iter(t._manifest_cache)) != victim
