@@ -1,8 +1,16 @@
 """CLI entry point (reference analog: ``battetl -c|-e|-t|-l|-etl config``,
-battetl/__init__.py:11-76; SURVEY.md §3.3).
+battetl/__init__.py:11-76; SURVEY.md §3.3). Also installed as the
+``battetl-spark`` console script (pyproject.toml; reference setup.py:31-35).
 
   python -m battetl_spark -c DATA_DIR CONFIG_OUT   scan dir -> emit config
   python -m battetl_spark -e|-t|-etl CONFIG        run stages
+  python -m battetl_spark -l CONFIG                load-only: re-load a saved
+                                                   transformed artifact
+                                                   (config key
+                                                   transformed_artifact_path,
+                                                   default
+                                                   <table_path>_transformed;
+                                                   written by -t)
 """
 
 from __future__ import annotations
@@ -47,6 +55,8 @@ def main(argv=None):
     g.add_argument("-c", action="store_true", help="create config from data dir")
     g.add_argument("-e", action="store_true", help="extract only")
     g.add_argument("-t", action="store_true", help="extract + transform")
+    g.add_argument("-l", action="store_true",
+                   help="load-only: re-load the saved transformed artifact")
     g.add_argument("-etl", action="store_true", help="full pipeline")
     p.add_argument("args", nargs="+")
     ns = p.parse_args(argv)
@@ -66,13 +76,20 @@ def main(argv=None):
 
     cfg = load_config(ns.args[0])
     etl = BattEtl(get_spark(), cfg)
+    if ns.l:  # load-only: no extract/transform, read the saved artifact
+        etl.load_from_artifact()
+        print("loaded (from transformed artifact)")
+        return 0
     etl.extract()
     if ns.e:
         print(f"extracted columns: {etl.raw.columns}")
         return 0
     etl.transform()
     if ns.t:
-        print(f"transformed rows: {etl.test_data.count()}")
+        msg = f"transformed rows: {etl.test_data.count()}"
+        if cfg.get("transformed_artifact_path") or cfg.get("table_path"):
+            msg += f" (artifact: {etl.save_transformed()})"
+        print(msg)
         return 0
     etl.load()
     print("loaded")

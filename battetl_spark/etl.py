@@ -82,6 +82,28 @@ class BattEtl:
             ).orderBy("cycle")  # O2 presentation ordering lives at the facade
         return self
 
+    def save_transformed(self, path: str | None = None) -> str:
+        """Persist the transformed frame as a parquet artifact so a later
+        load-only run (`-l`, reference battetl/__init__.py:53,71-72) can
+        re-load it without re-running extract/transform. One distributed
+        write; the artifact carries the exact post-transform schema."""
+        path = path or self.config.get("transformed_artifact_path") or (
+            self.config["table_path"] + "_transformed"
+        )
+        self.test_data.write.mode("overwrite").parquet(path)
+        return path
+
+    def load_from_artifact(
+        self, path: str | None = None, table: LakeTable | None = None
+    ) -> "BattEtl":
+        """Load-only stage: read a saved transformed artifact and run just
+        the load path (reference `-l` semantics — load without re-extract)."""
+        path = path or self.config.get("transformed_artifact_path") or (
+            self.config["table_path"] + "_transformed"
+        )
+        self.test_data = self.spark.read.parquet(path)
+        return self.load(table)
+
     def load(self, table: LakeTable | None = None) -> "BattEtl":
         """Append test_data to the target LakeTable (atomic snapshot commit).
         Watermark dedup across re-loads comes from the CDC merge path when a

@@ -19,6 +19,8 @@ from battetl_spark.lake import LakeTable
 from battetl_spark.lake.table import BUCKET_COL, CommitConflict, bucket_expr
 from battetl_spark.schemas import KEY_COLS, TRANSCRIPT_TABLE_SCHEMA
 
+pytestmark = pytest.mark.lake
+
 
 @pytest.fixture()
 def table(spark, tmp_path):

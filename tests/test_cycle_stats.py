@@ -9,6 +9,8 @@ import pytest
 from battetl_spark.analytics import calc_cycle_stats, conversation_stats
 from battetl_spark import fixtures as FX
 
+pytestmark = pytest.mark.etl
+
 COLS = [
     "cycle", "step", "test_time_s", "voltage_mv",
     "charge_capacity_mah", "discharge_capacity_mah",

@@ -16,6 +16,8 @@ from battetl_spark.sources.schedule import (
 )
 from tests.test_transform import VENDOR_A
 
+pytestmark = pytest.mark.etl
+
 PROC_XML = """<?xml version="1.0"?>
 <MaccorTestProcedure>
   <Step><StepNum>1</StepNum><StepType>Charge CC-CV</StepType></Step>

@@ -19,6 +19,8 @@ from battetl_spark.schemas import (
     TRANSCRIPT_TABLE_SCHEMA,
 )
 
+pytestmark = pytest.mark.lake
+
 
 def seeded(spark, path, base_pdf):
     t = LakeTable.create(

@@ -16,6 +16,8 @@ from battetl_spark.lake import LakeTable
 from battetl_spark.schemas import KEY_COLS, TRANSCRIPT_TABLE_SCHEMA
 from battetl_spark.streaming import CdcStream, FilePartitionedLog
 
+pytestmark = pytest.mark.streaming
+
 PAYLOAD = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 P = 4
 

@@ -16,6 +16,8 @@ from battetl_spark.lake import LakeTable
 from battetl_spark.schemas import KEY_COLS, LAST_LSN_COL, TRANSCRIPT_TABLE_SCHEMA
 from tests.conftest import assert_pdf_equal
 
+pytestmark = pytest.mark.merge
+
 ALL_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", LAST_LSN_COL]
 
 

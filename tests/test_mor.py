@@ -18,6 +18,10 @@ from battetl_spark.cdc import merge_apply
 from battetl_spark.lake import LakeTable
 from battetl_spark.schemas import KEY_COLS, TRANSCRIPT_TABLE_SCHEMA
 
+import pytest
+
+pytestmark = pytest.mark.merge
+
 ALL = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "_last_lsn"]
 
 

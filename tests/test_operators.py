@@ -12,6 +12,8 @@ from battetl_spark.operators import (
     time_bucket_rollup,
 )
 
+pytestmark = pytest.mark.queries
+
 
 def test_asof_join_semantics(spark):
     left = spark.createDataFrame(

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 import __spark_entry__ as E
 
+pytestmark = pytest.mark.queries
+
 SF = "/root/testdata/sf0.001"
 
 

@@ -16,6 +16,8 @@ from battetl_spark.lake import LakeTable
 from battetl_spark.schemas import KEY_COLS, TRANSCRIPT_TABLE_SCHEMA
 from tests.conftest import assert_pdf_equal
 
+pytestmark = pytest.mark.merge
+
 ALL = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "_last_lsn"]
 
 

@@ -2,12 +2,16 @@
 
 from __future__ import annotations
 
+import pytest
+
 import json
 
 from battetl_spark.__main__ import create_config, main as cli_main
 from battetl_spark.quick import battetl_quick, classify_file
 from battetl_spark.sources.config import read_pickle
 from tests.test_transform import VENDOR_A, VENDOR_M
+
+pytestmark = pytest.mark.etl
 
 
 def test_create_config_pattern_scan(tmp_path):
@@ -56,3 +60,55 @@ def test_read_pickle(spark, tmp_path):
     pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_pickle(p)
     df = read_pickle(spark, str(p))
     assert df.count() == 2 and set(df.columns) == {"a", "b"}
+
+
+def test_cli_load_only_stage(spark, tmp_path, capsys):
+    """`-t` persists the transformed artifact; `-l` re-loads it into the
+    table WITHOUT re-running extract/transform (reference
+    battetl/__init__.py:53,71-72 load-only stage)."""
+    import os
+
+    from battetl_spark.lake import LakeTable
+
+    data = tmp_path / "a.csv"
+    data.write_text(VENDOR_A)
+    cfg = {
+        "data_file_path": [str(data)],
+        "table_path": str(tmp_path / "lake_table"),
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    assert cli_main(["-t", str(cfg_path)]) == 0
+    artifact = cfg["table_path"] + "_transformed"
+    assert os.path.isdir(artifact)
+    assert "artifact" in capsys.readouterr().out
+
+    assert cli_main(["-l", str(cfg_path)]) == 0
+    t = LakeTable.load(spark, cfg["table_path"])
+    n = t.scan().count()
+    assert n >= 1
+    # a second load-only run appends again from the same artifact — no
+    # extract/transform required (the artifact is the only input)
+    os.remove(str(data))
+    assert cli_main(["-l", str(cfg_path)]) == 0
+    assert t.scan().count() == 2 * n
+
+
+def test_console_script_declared():
+    """pyproject declares the battetl-spark console entry point mapping to
+    the same main() `python -m battetl_spark` runs (reference
+    setup.py:31-35)."""
+    import os
+    import tomllib
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "pyproject.toml"),
+              "rb") as f:
+        meta = tomllib.load(f)
+    assert meta["project"]["scripts"]["battetl-spark"] == (
+        "battetl_spark.__main__:main"
+    )
+    mod, func = meta["project"]["scripts"]["battetl-spark"].split(":")
+    import importlib
+
+    assert callable(getattr(importlib.import_module(mod), func))

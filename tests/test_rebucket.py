@@ -19,6 +19,8 @@ from battetl_spark.lake.table import BUCKET_COL, CommitConflict, bucket_expr
 from battetl_spark.schemas import KEY_COLS, TRANSCRIPT_TABLE_SCHEMA
 from tests.conftest import assert_pdf_equal
 
+pytestmark = pytest.mark.lake
+
 ALL = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "_last_lsn"]
 
 

@@ -4,6 +4,10 @@ from __future__ import annotations
 
 from battetl_spark.sources.config import load_config, load_env, read_report_header
 
+import pytest
+
+pytestmark = pytest.mark.etl
+
 
 def test_load_config_json_then_yaml(tmp_path):
     j = tmp_path / "c.json"

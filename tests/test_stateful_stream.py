@@ -9,6 +9,8 @@ import pytest
 from battetl_spark import fixtures as FX
 from battetl_spark.streaming.stateful import effective_changes_stream
 
+pytestmark = pytest.mark.streaming
+
 
 def test_effective_changes_filter_late_events_across_batches(spark, tmp_path):
     src = str(tmp_path / "events")

@@ -14,6 +14,8 @@ from battetl_spark.lake import LakeTable
 from battetl_spark.schemas import KEY_COLS, TRANSCRIPT_TABLE_SCHEMA
 from tests.conftest import assert_pdf_equal
 
+pytestmark = pytest.mark.lake
+
 STATS_COLS = [
     "conv_id", "n_turns", "max_turn_idx", "n_user", "n_assistant", "n_tool",
     "n_system", "last_ts", "first_ts", "last_text", "n_tool_calls", "total_chars",

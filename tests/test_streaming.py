@@ -16,6 +16,8 @@ from battetl_spark.schemas import KEY_COLS, TRANSCRIPT_TABLE_SCHEMA
 from battetl_spark.streaming import CdcStream, read_change_event_stream
 from tests.conftest import assert_pdf_equal
 
+pytestmark = pytest.mark.streaming
+
 ALL_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "_last_lsn"]
 
 

@@ -13,6 +13,8 @@ from battetl_spark.analytics.multimodal import (
 )
 from battetl_spark.analytics.similarity import cosine_topk, lsh_cosine_topk
 
+pytestmark = pytest.mark.textops
+
 SF = "/root/testdata/sf0.001"
 
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 
 from battetl_spark import fixtures as FX
@@ -9,6 +11,8 @@ from battetl_spark.cdc import merge_apply
 from battetl_spark.lake import LakeTable
 from battetl_spark.schemas import KEY_COLS, TRANSCRIPT_TABLE_SCHEMA
 from tests.conftest import assert_pdf_equal
+
+pytestmark = pytest.mark.lake
 
 ALL = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "_last_lsn"]
 

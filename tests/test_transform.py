@@ -15,6 +15,8 @@ from battetl_spark.transform import (
     user_transform_hook,
 )
 
+pytestmark = pytest.mark.etl
+
 VENDOR_M = (
     "Today''s Date: 08/16/2026\n"
     "Filename: BG_079\n"

@@ -208,3 +208,30 @@ from battetl_spark.sources.config import attach_datasheet
 _p = _os.path.join(d2, "cell.pdf"); open(_p, "wb").write(b"%PDF\x00\xff")
 assert attach_datasheet({"datasheet": _p})["datasheet"] == b"%PDF\x00\xff"
 print("datasheet: OK")
+
+# CLI stage surface (round-5: -t writes the transformed artifact, -l re-loads
+# it without extract/transform; console script maps to the same main())
+import json as _json
+
+from battetl_spark.__main__ import main as _cli_main
+from battetl_spark.lake import LakeTable as _LT
+
+_d3 = _tf.mkdtemp()
+_csv = _os.path.join(_d3, "a.csv")
+open(_csv, "w").write(
+    "Data Point,Date Time,Test Time (s),Step Time (s),Cycle Index,"
+    "Step Index,Current (A),Voltage (V),Power (W),Charge Capacity (Ah),"
+    "Discharge Capacity (Ah),Charge Energy (Wh),Discharge Energy (Wh),"
+    "Internal Resistance (Ohm),dV/dt (V/s),"
+    "Aux_Temperature_1 (C),Aux_Temperature_2 (C)\n"
+    "1,08/16/2026 10:00:00.000,100.5,10.5,3,2,0.5,3.65,1.825,1.5,0.0,5.5,"
+    "0.0,0.012,0.001,24.5,24.7\n")
+_cfg = {"data_file_path": [_csv], "table_path": _os.path.join(_d3, "lt")}
+_cfgp = _os.path.join(_d3, "cfg.json")
+open(_cfgp, "w").write(_json.dumps(_cfg))
+assert _cli_main(["-t", _cfgp]) == 0
+assert _os.path.isdir(_cfg["table_path"] + "_transformed")
+_os.remove(_csv)  # -l must not need the raw input
+assert _cli_main(["-l", _cfgp]) == 0
+assert _LT.load(spark, _cfg["table_path"]).scan().count() == 1
+print("CLI load-only surface: OK")
