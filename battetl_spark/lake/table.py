@@ -457,10 +457,17 @@ class LakeTable:
         Merge-on-read: buckets holding DELTA files (``merge_apply(mode=
         'mor')`` appends batch winners without reading the bucket) are
         resolved here — one winner per key by (lsn, base-beats-delta-on-tie)
-        — before tombstone/row filters. Zone-map file skipping is DISABLED
-        for those buckets: dropping a file could remove the true winner and
-        wrongly promote an older row past the filter. Clean (all-base)
-        buckets keep the fast path: no resolve aggregation, full skipping."""
+        — before tombstone/row filters. PER-FILE zone-map skipping is
+        disabled for those buckets (dropping one file could remove the true
+        winner and wrongly promote an older row past the filter), but the
+        WHOLE bucket is skipped when no file in it — base or delta, stats
+        over their union of ranges — can satisfy every predicate: any
+        resolved winner is a row of the bucket, so if zone maps prove no
+        bucket row matches, no winner can survive the post-resolve row
+        filter either. A 100-TB MOR-heavy table thus keeps file skipping on
+        its hottest (delta-bearing) buckets at bucket granularity until
+        compaction restores per-file skipping. Clean (all-base) buckets keep
+        the fast path: no resolve aggregation, per-file skipping."""
         snap = snap or self.snapshot()
         cur_schema = T.StructType.fromJson(snap["schema"])
         wanted = list(
@@ -501,6 +508,14 @@ class LakeTable:
         delta_g: dict[tuple, list[str]] = {}  # (sid, seq) -> paths
         for _, entries in wanted:
             has_delta = any(e.get("delta") for e in entries)
+            if (
+                has_delta
+                and filters
+                and not any(_file_may_match(e, filters) for e in entries)
+            ):
+                continue  # bucket-granular skip: no file (base OR delta) in
+                # this bucket can hold a matching row, so no resolved winner
+                # can pass the row filter — safe to drop the whole bucket
             for e in entries:
                 full = os.path.join(self.path, e["path"])
                 if not has_delta:
