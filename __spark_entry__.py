@@ -461,16 +461,47 @@ def q_doc_minhash_dedup(spark, sf):
     """MinHash-LSH candidates + exact-Jaccard verify: emitted pairs equal the
     exhaustive all-pairs answer (per-pair miss prob ~8e-8 at j=0.8 with
     16 bands of 2 hashes; the corpus's true pairs sit at j>=0.8), so the
-    DuckDB oracle is the ground truth."""
+    DuckDB oracle is the ground truth. rows_per_band='auto' (round 5) stays
+    at r=2 at driver SFs (candidate mass under budget → identical results)
+    and escalates only on low-entropy corpora where fixed r=2 explodes."""
     from battetl_spark.analytics.textops import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
         _t(spark, sf, "documents"),
         num_hashes=32,
         jaccard_threshold=0.8,
-        rows_per_band=2,
+        rows_per_band="auto",
         verify="exact",
     )
+
+
+def q_doc_minhash_incremental(spark, sf):
+    """Incremental near-dup against a PERSISTED signature index (round-5):
+    the corpus arrives as three deterministic batches (doc_id mod 3); each
+    batch computes only its own signatures, band-joins against the stored
+    index + itself, exact-verifies, and appends its signatures. The union
+    of per-batch pair outputs must equal the full-corpus exhaustive oracle
+    (every unordered pair is found exactly once, by the batch ingesting its
+    later member). Mirrors the reference's only-new-rows incremental load
+    (/root/reference/battetl/load/Loader.py:144-234)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from battetl_spark.analytics.sig_index import MinHashIndex
+
+    docs = _t(spark, sf, "documents")
+    idx = MinHashIndex.create(
+        spark, tempfile.mkdtemp(prefix="mh_incr_") + "/idx"
+    )
+    out = None
+    for i in range(3):
+        pairs = idx.add_batch(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i),
+            jaccard_threshold=0.8,
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out
 
 
 def q_doc_simhash(spark, sf):
@@ -597,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_minhash_dedup": q_doc_minhash_dedup,
+        "doc_minhash_incremental": q_doc_minhash_incremental,
         "doc_simhash": q_doc_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1115,6 +1147,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_ngram_jaccard": _jaccard_pairs_sql(0.4),
         "doc_minhash_dedup": _jaccard_pairs_sql(0.8),
+        "doc_minhash_incremental": _jaccard_pairs_sql(0.8),
         "doc_simhash": _simhash_pairs_sql(3),
         "ann_lsh_topk": _ann_lsh_sql(dim=64, num_planes=4, k=10),
     }

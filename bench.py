@@ -98,6 +98,7 @@ ANALYTIC_QUERIES = [
     "doc_quality",
     "doc_fingerprint",
     "doc_minhash_dedup",
+    "doc_minhash_incremental",
     "doc_simhash",
     "corpus_clean",
     "ann_cosine_topk",
