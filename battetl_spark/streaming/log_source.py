@@ -257,6 +257,62 @@ class FilePartitionedLog:
         os.rename(tmp, os.path.join(self._data, f"seg-{seg_id:06d}"))
         return counts
 
+    # ------------------------------------------------------------ maintenance
+    def vacuum_segments(self, checkpoint_dirs: list[str]) -> list[str]:
+        """Delete segment dirs fully consumed by EVERY given consumer
+        checkpoint (round-4 verdict #8: the log dir otherwise grows
+        forever — the retention answer a Kafka topic gets from its broker).
+
+        A segment qualifies when each checkpoint's file-source log
+        (``sources/0/<batch>``) lists every one of its data files in a
+        COMMITTED microbatch (batch id ≤ the checkpoint's last commit).
+        Deletion is resume-safe by the file source's own contract: a
+        restarted query replays from its log of SEEN files and re-lists the
+        glob only for NEW files — committed-then-deleted files are never
+        requested again, and unconsumed segments are conservatively kept
+        (any checkpoint that has committed nothing blocks the vacuum).
+        Offset metadata is untouched, so later publishes continue the
+        per-partition lsn sequence with a harmless gap."""
+        import shutil
+        from urllib.parse import urlparse
+
+        def _norm(p: str) -> str:
+            u = urlparse(p)
+            return u.path if u.scheme else p
+
+        processed: list[set] = []
+        for ck in checkpoint_dirs:
+            commit_ids = [
+                int(os.path.basename(p))
+                for p in _glob.glob(os.path.join(ck, "commits", "*"))
+                if os.path.basename(p).isdigit()
+            ]
+            if not commit_ids:
+                return []  # nothing committed yet — keep everything
+            max_commit = max(commit_ids)
+            seen: set[str] = set()
+            for p in _glob.glob(os.path.join(ck, "sources", "0", "*")):
+                name = os.path.basename(p)
+                if not name.isdigit() or int(name) > max_commit:
+                    continue
+                with open(p) as f:
+                    for line in f:
+                        line = line.strip()
+                        if line.startswith("{"):
+                            seen.add(_norm(json.loads(line)["path"]))
+            processed.append(seen)
+
+        deleted = []
+        for seg in sorted(_glob.glob(os.path.join(self._data, "seg-*"))):
+            files = {
+                os.path.abspath(p)
+                for p in _glob.glob(os.path.join(seg, "*.parquet"))
+            }
+            if files and all(files <= seen for seen in processed):
+                shutil.rmtree(seg)
+                deleted.append(seg)
+        return deleted
+
     # ----------------------------------------------------------------- read
     def _with_lsn(self, df: DataFrame, p_count: int) -> DataFrame:
         return df.select(

@@ -319,3 +319,45 @@ def test_publish_sweeps_stale_tmp_dirs(spark, tmp_path, events_pdf):
     log.publish(ev)
     assert glob.glob(os.path.join(data_dir, ".tmp-*")) == []
     assert log.read_all().count() == 50
+
+
+def test_vacuum_segments_resume_safe(spark, tmp_path, events_pdf):
+    """Segment GC (round-5): segments fully consumed by every checkpoint
+    are deleted; unconsumed ones survive, and a resumed stream continues
+    from its checkpoint to the exact oracle state despite the deletions."""
+    import glob
+    import os
+
+    log = FilePartitionedLog.create(spark, str(tmp_path / "log"), P)
+    ev = FX.change_events_df(spark, events_pdf)
+    lo = int(events_pdf["lsn"].quantile(0.33))
+    hi = int(events_pdf["lsn"].quantile(0.66))
+    log.publish(ev.filter(F.col("lsn") <= lo))
+    log.publish(ev.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi)))
+
+    t = fresh_table(spark, str(tmp_path / "t"))
+    ckpt = str(tmp_path / "ckpt")
+    CdcStream(t, ckpt).run_to_completion(log.read_stream(max_files_per_trigger=1))
+
+    log.publish(ev.filter(F.col("lsn") > hi))
+    seg_dir = os.path.join(str(tmp_path / "log"), "data")
+    assert len(glob.glob(os.path.join(seg_dir, "seg-*"))) == 3
+
+    # an uncommitted checkpoint conservatively blocks the vacuum
+    assert log.vacuum_segments([ckpt, str(tmp_path / "fresh_ckpt")]) == []
+
+    deleted = log.vacuum_segments([ckpt])
+    assert len(deleted) == 2  # consumed segments reclaimed
+    remaining = glob.glob(os.path.join(seg_dir, "seg-*"))
+    assert len(remaining) == 1  # unconsumed segment kept
+
+    # resume from checkpoint over the vacuumed log → exact oracle state
+    CdcStream(t, ckpt).run_to_completion(log.read_stream(max_files_per_trigger=1))
+    expected = FX.pandas_oracle_replay(None, events_pdf)[PAYLOAD].reset_index(
+        drop=True
+    )
+    assert payload_state(t).equals(expected)
+
+    # now everything is consumed: the last segment goes too
+    assert log.vacuum_segments([ckpt]) == remaining
+    assert glob.glob(os.path.join(seg_dir, "seg-*")) == []

@@ -10,6 +10,11 @@ safe beside a running stream (conflict-detected where they rewrite data):
   compact-fences    fold the contiguous fenced-epoch prefix into the floor
   rebucket          power-of-two bucket-count growth (shuffle-free rewrite)
 
+plus one for the file-backed change log (``--log`` instead of ``--table``):
+
+  vacuum-segments   delete log segments fully consumed by every given
+                    --checkpoint (resume-safe; Kafka-retention analog)
+
 Cluster usage:
 
   spark-submit --py-files engine.zip tools/maintain.py \
@@ -31,7 +36,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--table", required=True)
+    ap.add_argument("--table")
+    ap.add_argument("--log", help="FilePartitionedLog path (vacuum-segments)")
     sub = ap.add_subparsers(dest="op", required=True)
     p = sub.add_parser("compact")
     p.add_argument("--min-files", type=int, default=4)
@@ -42,14 +48,31 @@ def main():
     sub.add_parser("compact-fences")
     p = sub.add_parser("rebucket")
     p.add_argument("--num-buckets", type=int, required=True)
+    p = sub.add_parser("vacuum-segments")
+    p.add_argument("--checkpoint", action="append", required=True,
+                   help="consumer checkpoint dir (repeatable; a segment is "
+                        "deleted only when EVERY checkpoint consumed it)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
-    from battetl_spark.lake import LakeTable
-
     spark = SparkSession.builder.appName("battetl_spark-maintain").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    if args.op == "vacuum-segments":
+        from battetl_spark.streaming import FilePartitionedLog
+
+        if not args.log:
+            ap.error("vacuum-segments requires --log")
+        log = FilePartitionedLog.open(spark, args.log)
+        deleted = log.vacuum_segments(args.checkpoint)
+        print(f"vacuum-segments: {len(deleted)} segments reclaimed")
+        return
+
+    from battetl_spark.lake import LakeTable
+
+    if not args.table:
+        ap.error(f"{args.op} requires --table")
     table = LakeTable.load(spark, args.table)
 
     def ver(snap):
