@@ -48,6 +48,7 @@ from battetl_spark.analytics.textops import (
     _banded,
     _exact_jaccard_over,
     minhash_signatures_from_shingles,
+    simhash_signatures,
     word_shingle_hashes,
 )
 from battetl_spark.lake import LakeTable
@@ -205,4 +206,123 @@ class MinHashIndex:
                 batch_sigs, "doc_id"
             ).select("doc_id", "minhash", "sh")
         )
+        return pairs
+
+
+SIMHASH_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sig_hi", T.LongType(), False),
+        T.StructField("sig_lo", T.LongType(), False),
+    ]
+)
+
+
+def _simhash_blocks(sig: DataFrame) -> DataFrame:
+    """Explode a (doc_id, sig_hi, sig_lo) frame into the 4×16-bit pigeonhole
+    blocks (Manku et al.) — identical blocking to the batch operator
+    ``textops.simhash_near_dups``, so recall stays GUARANTEED for
+    hamming ≤ 3."""
+    mask = F.lit(0xFFFF)
+    return sig.select(
+        "doc_id",
+        "sig_hi",
+        "sig_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("blk"), F.shiftright("sig_hi", 16).alias("v")),
+                F.struct(F.lit(1).alias("blk"),
+                         F.col("sig_hi").bitwiseAND(mask).alias("v")),
+                F.struct(F.lit(2).alias("blk"), F.shiftright("sig_lo", 16).alias("v")),
+                F.struct(F.lit(3).alias("blk"),
+                         F.col("sig_lo").bitwiseAND(mask).alias("v")),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig_hi", "sig_lo", "bb.blk", "bb.v")
+
+
+class SimHashIndex:
+    """Persisted 64-bit SimHash store keyed by doc_id — the incremental
+    counterpart of ``textops.simhash_near_dups``, with the same only-new-rows
+    / pair-owned-by-later-batch contract as ``MinHashIndex``. Because the
+    4-block pigeonhole blocking has GUARANTEED recall at hamming ≤ 3 and the
+    hamming verify is exact, the per-batch union over any batch partitioning
+    equals the batch operator's full-corpus answer exactly — no
+    probabilistic caveat."""
+
+    def __init__(self, spark: SparkSession, table: LakeTable):
+        self.spark = spark
+        self.table = table
+
+    @classmethod
+    def create(
+        cls, spark: SparkSession, path: str, num_buckets: int = 16
+    ) -> "SimHashIndex":
+        return cls(
+            spark,
+            LakeTable.create(
+                spark, path, SIMHASH_INDEX_SCHEMA,
+                num_buckets=num_buckets, bucket_key="doc_id",
+            ),
+        )
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "SimHashIndex":
+        return cls(spark, LakeTable.load(spark, path))
+
+    def add_batch(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        max_hamming: int = 3,
+    ) -> DataFrame:
+        """Ingest one batch; returns verified (id_a, id_b, hamming) pairs
+        between the batch's NEW docs and the indexed corpus + the batch
+        itself, then appends the new signatures (materialized before the
+        commit, exactly as MinHashIndex.add_batch)."""
+        if max_hamming > 3:
+            raise ValueError(
+                "4-block pigeonhole guarantees recall only for max_hamming <= 3"
+            )
+        index = self.table.scan()
+        new_docs = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        ).join(index.select("doc_id"), "doc_id", "left_anti")
+        batch_sig = _track(simhash_signatures(new_docs, "doc_id", "text"))
+
+        blocked_new = _simhash_blocks(batch_sig).alias("a")
+        blocked_all = (
+            _simhash_blocks(index).withColumn("__new", F.lit(False))
+            .unionByName(
+                _simhash_blocks(batch_sig).withColumn("__new", F.lit(True))
+            )
+            .alias("b")
+        )
+        ham = F.bit_count(
+            F.col("a.sig_hi").bitwiseXOR(F.col("b.sig_hi"))
+        ) + F.bit_count(F.col("a.sig_lo").bitwiseXOR(F.col("b.sig_lo")))
+        pairs = _track(
+            blocked_new.join(
+                blocked_all,
+                (F.col("a.blk") == F.col("b.blk"))
+                & (F.col("a.v") == F.col("b.v"))
+                & (
+                    (~F.col("b.__new")
+                     & (F.col("a.doc_id") != F.col("b.doc_id")))
+                    | (F.col("b.__new")
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+                ),
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+                ham.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        pairs.count()  # materialize BEFORE the index mutates
+        self.table.append(batch_sig.select("doc_id", "sig_hi", "sig_lo"))
         return pairs

@@ -543,3 +543,31 @@ def test_incremental_band_join_prunes_signature_columns(spark, docs, tmp_path):
     assert scans and all(
         not re.search(r"[<,]sh:", l.split("ReadSchema")[1]) for l in scans
     )
+
+
+def test_simhash_incremental_equals_batch(spark, docs, tmp_path):
+    """SimHashIndex batch-by-batch ingest equals the batch operator's
+    full-corpus answer EXACTLY (pigeonhole blocking has guaranteed recall
+    at hamming<=3 — no probabilistic caveat), and re-ingest is a no-op."""
+    from battetl_spark.analytics import SimHashIndex
+
+    full = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in TX.simhash_near_dups(docs, max_hamming=3).collect()
+    }
+    assert full
+
+    idx = SimHashIndex.create(spark, str(tmp_path / "idx"))
+    got = []
+    for i in range(3):
+        batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+        got.extend(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in idx.add_batch(batch, max_hamming=3).collect()
+        )
+    assert len(got) == len(set(got))
+    assert set(got) == full
+
+    again = idx.add_batch(docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0))
+    assert again.count() == 0
+    assert idx.table.scan().count() == docs.count()
