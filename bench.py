@@ -175,9 +175,12 @@ def main():
         timings[name] = round(time.time() - t0, 3)
         spark.catalog.clearCache()
 
-    total = round(
-        sum(v for k, v in timings.items() if k != "cdc_merge_replay_mor"), 3
-    )
+    # cdc_merge_replay_mor and doc_minhash_incremental are ADDED workloads
+    # (the MOR ingest mode; a 3-batch index-ingest replay of the corpus) —
+    # reported per-query but excluded from the composite so the headline
+    # total stays comparable with earlier rounds' query set
+    added = {"cdc_merge_replay_mor", "doc_minhash_incremental"}
+    total = round(sum(v for k, v in timings.items() if k not in added), 3)
     print(
         json.dumps(
             {
