@@ -545,6 +545,37 @@ def q_emb_near_dup(spark, sf):
     return embedding_near_dup_pairs(emb.unionByName(planted), threshold=0.9)
 
 
+def q_emb_near_dup_incremental(spark, sf):
+    """Incremental embedding near-dup against a persisted hyperplane-LSH
+    index (round-5): same planted corpus as emb_near_dup, ingested as three
+    batches through analytics.EmbeddingIndex — the stored flip masks let an
+    OLD smaller id probe toward a new vector's bucket, so the per-batch
+    union equals the batch operator (and the exhaustive oracle) exactly."""
+    import tempfile
+
+    from battetl_spark.analytics.sig_index import EmbeddingIndex
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.999 + 0.0003).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    idx = EmbeddingIndex.create(
+        spark, tempfile.mkdtemp(prefix="emb_incr_") + "/idx"
+    )
+    out = None
+    for i in range(3):
+        pairs = idx.add_batch(
+            corpus.filter(F.pmod(F.col("vec_id"), F.lit(3)) == i),
+            threshold=0.9,
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out
+
+
 def q_ann_lsh_topk(spark, sf):
     """LSH-bucketed ANN (scale path). Hyperplanes are md5-derived ±1 literal
     arrays and bucket bits come from ORDER-INDEPENDENT integer-quantized
@@ -634,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_near_dup": q_emb_near_dup,
+        "emb_near_dup_incremental": q_emb_near_dup_incremental,
     }
 
 
@@ -1126,6 +1158,26 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 10
         """,
         "emb_near_dup": """
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            aug AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id + 100000, list_transform(v, x -> x * 0.999 + 0.0003)
+              FROM base WHERE vec_id < 25
+            ),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))) AS c
+              FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(c, 6) AS cos_sim
+            FROM pairs WHERE c >= 0.9
+        """,
+        "emb_near_dup_incremental": """
             WITH base AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
             ),

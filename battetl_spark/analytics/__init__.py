@@ -3,3 +3,4 @@ from battetl_spark.analytics.rollups import conversation_stats  # noqa: F401
 from battetl_spark.analytics.cache import cache_scope  # noqa: F401
 from battetl_spark.analytics.sig_index import MinHashIndex  # noqa: F401
 from battetl_spark.analytics.sig_index import SimHashIndex  # noqa: F401
+from battetl_spark.analytics.sig_index import EmbeddingIndex  # noqa: F401

@@ -326,3 +326,192 @@ class SimHashIndex:
         pairs.count()  # materialize BEFORE the index mutates
         self.table.append(batch_sig.select("doc_id", "sig_hi", "sig_lo"))
         return pairs
+
+
+EMB_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()), False),
+        T.StructField("bkt", T.ArrayType(T.IntegerType()), False),
+        T.StructField("flips", T.ArrayType(T.ArrayType(T.IntegerType())), False),
+    ]
+)
+
+
+class EmbeddingIndex:
+    """Persisted hyperplane-LSH store for embedding-cosine near-dup — the
+    incremental counterpart of ``similarity.embedding_near_dup_pairs``.
+
+    Stores per vector: the embedding (exact-cosine verify), the per-band
+    bucket ids, and the per-band multi-probe flip masks. Storing the masks
+    is what makes incremental output EXACTLY equal the batch operator's:
+    the batch self-join probes from the smaller-id side of every pair, so
+    an old vector must be able to probe toward a NEW vector's exact bucket
+    when the old id is smaller — its masks are read back instead of
+    recomputing signatures over the indexed corpus. Per-batch cost is
+    O(batch signature build) + O(index (id, band, bkt/flip) tuples); the
+    index-side scan prunes the embedding column out of the candidate join.
+
+    ``bands`` / ``rows_per_band`` / ``probes`` are fixed at create time
+    (stored in table properties) — all batches must bucket identically.
+    """
+
+    def __init__(self, spark: SparkSession, table: LakeTable):
+        self.spark = spark
+        self.table = table
+        cfg = json.loads(table.snapshot()["properties"]["emb_index"])
+        self.bands = int(cfg["bands"])
+        self.rows_per_band = int(cfg["rows_per_band"])
+        self.probes = int(cfg["probes"])
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        bands: int = 12,
+        rows_per_band: int = 12,
+        probes: int = 2,
+        num_buckets: int = 16,
+    ) -> "EmbeddingIndex":
+        table = LakeTable.create(
+            spark, path, EMB_INDEX_SCHEMA,
+            num_buckets=num_buckets, bucket_key="vec_id",
+            properties={
+                "emb_index": json.dumps(
+                    {"bands": int(bands), "rows_per_band": int(rows_per_band),
+                     "probes": int(probes)}
+                )
+            },
+        )
+        return cls(spark, table)
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "EmbeddingIndex":
+        return cls(spark, LakeTable.load(spark, path))
+
+    # -------------------------------------------------------------- helpers
+    def _rows_from_arrays(self, df: DataFrame, probe: bool) -> DataFrame:
+        """(vec_id, band, bkt) rows from stored array columns."""
+        exact = df.select(
+            "vec_id", F.posexplode("bkt").alias("band", "bkt")
+        )
+        if not probe or not self.probes:
+            return exact
+        probed = df.select(
+            "vec_id",
+            F.posexplode("bkt").alias("band", "__b0"),
+            F.col("flips"),
+        ).select(
+            "vec_id",
+            "band",
+            F.explode(
+                F.transform(
+                    F.col("flips")[F.col("band")],
+                    lambda m: F.col("__b0").bitwiseXOR(m),
+                )
+            ).alias("bkt"),
+        )
+        return exact.unionByName(probed)
+
+    # ---------------------------------------------------------------- ingest
+    def add_batch(
+        self,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        threshold: float = 0.9,
+    ) -> DataFrame:
+        """Ingest one batch; returns verified (id_a, id_b, cos_sim) pairs
+        between the batch's NEW vectors and the indexed corpus + the batch
+        itself. Candidate orientation matches the batch operator — the
+        SMALLER id probes — so the per-batch union over any partitioning
+        equals ``embedding_near_dup_pairs`` on the full corpus exactly.
+        Same only-new-rows / materialize-before-append contract as
+        MinHashIndex."""
+        from battetl_spark.analytics.similarity import (
+            _bucket_frame,
+            _exploded_bucket_rows,
+            _plane_signature,
+            cosine,
+        )
+
+        index = self.table.scan()
+        new_v = _track(
+            vectors.select(
+                F.col(id_col).cast("long").alias("vec_id"),
+                F.col(vec_col).cast("array<double>").alias("__v"),
+            ).join(index.select("vec_id"), "vec_id", "left_anti")
+        )
+        sig = _plane_signature(new_v, "vec_id", self.bands * self.rows_per_band)
+        buckets = _track(
+            _bucket_frame(
+                sig, "vec_id", self.bands, self.rows_per_band, self.probes
+            )
+        )
+        batch_exact = _exploded_bucket_rows(
+            buckets, "vec_id", self.bands, self.probes, probe=False
+        )
+        batch_probed = _exploded_bucket_rows(
+            buckets, "vec_id", self.bands, self.probes, probe=True
+        )
+        idx_cols = index.select("vec_id", "bkt", "flips")
+        all_exact = self._rows_from_arrays(idx_cols, probe=False).unionByName(
+            batch_exact
+        )
+        idx_probed = self._rows_from_arrays(idx_cols, probe=True)
+
+        def pairs_of(a, b):
+            return (
+                a.alias("a")
+                .join(
+                    b.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bkt") == F.col("b.bkt"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")),
+                )
+                .select(
+                    F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b"),
+                )
+            )
+
+        # smaller id probes: new-probes-vs-all covers pairs whose smaller
+        # member is new; index-probes-vs-batch covers pairs where an OLD
+        # smaller id probes toward a new vector's exact bucket
+        cand = (
+            pairs_of(batch_probed, all_exact)
+            .unionByName(pairs_of(idx_probed, batch_exact))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        combined_v = index.select(
+            "vec_id", F.col("embedding").alias("__v")
+        ).unionByName(new_v)
+        joined = cand.join(
+            combined_v.select(F.col("vec_id").alias("id_a"),
+                              F.col("__v").alias("va")), "id_a"
+        ).join(
+            combined_v.select(F.col("vec_id").alias("id_b"),
+                              F.col("__v").alias("vb")), "id_b"
+        )
+        pairs = _track(
+            joined.withColumn("__c", cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("__c") >= threshold)
+            .select("id_a", "id_b", F.round("__c", 6).alias("cos_sim"))
+        )
+        pairs.count()  # materialize BEFORE the index mutates
+
+        to_store = buckets.selectExpr(
+            "vec_id",
+            "array(" + ", ".join(f"__b{b}" for b in range(self.bands))
+            + ") AS bkt",
+            ("array(" + ", ".join(f"__f{b}" for b in range(self.bands))
+             + ") AS flips")
+            if self.probes
+            else f"array_repeat(CAST(array() AS ARRAY<INT>), {self.bands})"
+            " AS flips",
+        ).join(new_v, "vec_id").select(
+            "vec_id", F.col("__v").alias("embedding"), "bkt", "flips"
+        )
+        self.table.append(to_store)
+        return pairs

@@ -220,6 +220,95 @@ def ivf_cosine_topk(
     )
 
 
+def _plane_signature(v: DataFrame, id_col: str, n_planes: int) -> DataFrame:
+    """Hyperplane-dot signature frame (id, __d0.. __d{n-1}) from a frame
+    with a quantizable ``__v`` array<double> column.
+
+    One exploded row per (vector, dim); each plane's dot is a SUM aggregate
+    of sign(p, pos) * q — codegen'd sums beat interpreted higher-order folds
+    by ~10× (measured 2.4s → 0.35s per pass). The sum expressions are built
+    as SQL STRINGS (one parser call each) instead of Column-object
+    composition: each F.xx call is a py4j round-trip, and the ~1000 calls of
+    the Column version cost ~1.7s of DRIVER build per query (measured) —
+    the expr() build is ~50ms. Plane sign (p, pos) derives from
+    xxhash64(p, pos) parity: deterministic in-engine, O(planes) plan nodes
+    instead of O(planes×dim) literals."""
+    return (
+        v.select(
+            id_col,
+            F.posexplode(
+                F.transform("__v", lambda x: F.floor(x * QUANT))
+            ).alias("__pos", "__q"),
+        )
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.expr(
+                    f"sum((1 - 2 * pmod(xxhash64({p}, __pos), 2)) * __q)"
+                    f" AS __d{p}"
+                )
+                for p in range(n_planes)
+            ]
+        )
+    )
+
+
+def _bucket_frame(
+    sig: DataFrame, id_col: str, bands: int, rows_per_band: int, probes: int
+) -> DataFrame:
+    """Bucket ids __b{band} (and, when probing, each band's flip masks
+    __f{band} — the ``probes`` smallest-|margin| planes, the signs most
+    likely to disagree on a true near-dup) materialized ONCE per band from
+    a signature frame. Structs referencing a shared complex expr would
+    re-expand the 12-bit sum per probe (the Catalyst re-expansion lesson,
+    CLAUDE.md); all SQL strings for the same driver-build reason as the
+    signature sums (~2.1s → ~50ms measured)."""
+
+    def band_bucket_sql(b: int) -> str:
+        return " + ".join(
+            f"CAST(__d{b * rows_per_band + r} >= 0 AS INT) * {1 << r}"
+            for r in range(rows_per_band)
+        ) + f" AS __b{b}"
+
+    def flip_masks_sql(b: int) -> str:
+        margins = ", ".join(
+            f"named_struct('m', abs(__d{b * rows_per_band + r}), 'r', {r})"
+            for r in range(rows_per_band)
+        )
+        # 2^r via pow: shiftleft() takes only a literal shift amount;
+        # exact in doubles for r ≤ 30
+        return (
+            f"transform(slice(array_sort(array({margins})), 1, {probes}), "
+            "s -> CAST(pow(2.0D, CAST(s.r AS DOUBLE)) AS INT))"
+            f" AS __f{b}"
+        )
+
+    return sig.selectExpr(
+        f"`{id_col}`",
+        *[band_bucket_sql(b) for b in range(bands)],
+        *([flip_masks_sql(b) for b in range(bands)] if probes else []),
+    )
+
+
+def _exploded_bucket_rows(
+    buckets: DataFrame, id_col: str, bands: int, probes: int, probe: bool
+) -> DataFrame:
+    """(id, band, bkt) rows from a bucket frame — exact buckets only, or
+    exact plus each band's ``probes`` 1-flip probe variants."""
+    entries = []
+    for b in range(bands):
+        entries.append(f"named_struct('band', {b}, 'bkt', __b{b})")
+        if probe and probes:
+            entries.extend(
+                f"named_struct('band', {b}, "
+                f"'bkt', __b{b} ^ element_at(__f{b}, {j + 1}))"
+                for j in range(probes)
+            )
+    return buckets.selectExpr(
+        f"`{id_col}`", f"explode(array({', '.join(entries)})) AS bb"
+    ).select(id_col, "bb.band", "bb.bkt")
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,
@@ -272,90 +361,19 @@ def embedding_near_dup_pairs(
             f"probes must be in [0, rows_per_band={rows_per_band}] "
             "(0 = exact buckets, rows_per_band = every 1-flip neighbor)"
         )
-    n_planes = bands * rows_per_band
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    )
-    # one exploded row per (vector, dim); each plane's dot is a SUM aggregate
-    # of sign(p, pos) * q — codegen'd sums beat interpreted higher-order
-    # folds by ~10× (measured 2.4s → 0.35s per pass).
-    # The 144 sum expressions are built as SQL STRINGS (one parser call
-    # each) instead of Column-object composition: each F.xx call is a py4j
-    # round-trip, and the ~1000 calls of the Column version cost ~1.7s of
-    # DRIVER build per query (measured) — the expr() build is ~50ms.
-    sig = (
-        v.select(
-            id_col,
-            F.posexplode(
-                F.transform("__v", lambda x: F.floor(x * QUANT))
-            ).alias("__pos", "__q"),
-        )
-        .groupBy(id_col)
-        .agg(
-            *[
-                F.expr(
-                    f"sum((1 - 2 * pmod(xxhash64({p}, __pos), 2)) * __q)"
-                    f" AS __d{p}"
-                )
-                for p in range(n_planes)
-            ]
-        )
     )
     # signature store: the banded self-join references this frame on both
     # sides — persist (scope-tracked) so the corpus is projected once
     # (N×planes longs, spills if ever large)
-    sig = _track(sig)
-
-    # materialize bucket ids (and each band's lowest-|margin| flip masks)
-    # ONCE per band, then derive probe variants from the materialized
-    # columns — structs referencing a shared complex expr would re-expand
-    # the 12-bit sum per probe (the Catalyst re-expansion lesson,
-    # CLAUDE.md). All built as SQL strings for the same driver-build
-    # reason as the signature sums (~2.1s → ~50ms measured).
-    def band_bucket_sql(b: int) -> str:
-        return " + ".join(
-            f"CAST(__d{b * rows_per_band + r} >= 0 AS INT) * {1 << r}"
-            for r in range(rows_per_band)
-        ) + f" AS __b{b}"
-
-    def flip_masks_sql(b: int) -> str:
-        """Masks (2^r) of this band's ``probes`` smallest-|dot| planes —
-        the signs most likely to disagree on a true near-dup."""
-        margins = ", ".join(
-            f"named_struct('m', abs(__d{b * rows_per_band + r}), 'r', {r})"
-            for r in range(rows_per_band)
-        )
-        # 2^r via pow: shiftleft() takes only a literal shift amount;
-        # exact in doubles for r ≤ 30
-        return (
-            f"transform(slice(array_sort(array({margins})), 1, {probes}), "
-            "s -> CAST(pow(2.0D, CAST(s.r AS DOUBLE)) AS INT))"
-            f" AS __f{b}"
-        )
-
-    buckets = sig.selectExpr(
-        f"`{id_col}`",
-        *[band_bucket_sql(b) for b in range(bands)],
-        *([flip_masks_sql(b) for b in range(bands)] if probes else []),
-    )
-
-    def explode_buckets(probe: bool) -> DataFrame:
-        entries = []
-        for b in range(bands):
-            entries.append(f"named_struct('band', {b}, 'bkt', __b{b})")
-            if probe and probes:
-                entries.extend(
-                    f"named_struct('band', {b}, "
-                    f"'bkt', __b{b} ^ element_at(__f{b}, {j + 1}))"
-                    for j in range(probes)
-                )
-        return buckets.selectExpr(
-            f"`{id_col}`", f"explode(array({', '.join(entries)})) AS bb"
-        ).select(id_col, "bb.band", "bb.bkt")
+    sig = _track(_plane_signature(v, id_col, bands * rows_per_band))
+    buckets = _bucket_frame(sig, id_col, bands, rows_per_band, probes)
 
     # probing ONE side suffices: bucket XOR is symmetric, and either
     # orientation of (id_a < id_b) puts the probing side on every pair
-    a, b_ = explode_buckets(probe=True).alias("a"), explode_buckets(False).alias("b")
+    a = _exploded_bucket_rows(buckets, id_col, bands, probes, probe=True).alias("a")
+    b_ = _exploded_bucket_rows(buckets, id_col, bands, probes, probe=False).alias("b")
     cand = (
         a.join(
             b_,

@@ -571,3 +571,45 @@ def test_simhash_incremental_equals_batch(spark, docs, tmp_path):
     again = idx.add_batch(docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0))
     assert again.count() == 0
     assert idx.table.scan().count() == docs.count()
+
+
+def test_embedding_incremental_equals_batch(spark, emb, tmp_path):
+    """EmbeddingIndex batch-by-batch ingest equals the batch operator
+    EXACTLY: stored flip masks let an old smaller id probe toward a new
+    vector's bucket, reproducing the batch self-join's smaller-id-probes
+    orientation; re-ingest is a no-op."""
+    from battetl_spark.analytics import EmbeddingIndex
+    from battetl_spark.analytics.similarity import embedding_near_dup_pairs
+
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = base.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.999 + 0.0003).alias(
+            "embedding"
+        ),
+    )
+    corpus = base.unionByName(planted)
+    full = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_near_dup_pairs(corpus, threshold=0.9).collect()
+    }
+    assert len(full) == 25  # planted pairs, non-vacuous
+
+    idx = EmbeddingIndex.create(spark, str(tmp_path / "idx"))
+    got = []
+    for i in range(3):
+        got.extend(
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in idx.add_batch(
+                corpus.filter(F.pmod(F.col("vec_id"), F.lit(3)) == i),
+                threshold=0.9,
+            ).collect()
+        )
+    assert len(got) == len(set(got))  # no pair reported twice
+    assert set(got) == full
+
+    again = idx.add_batch(corpus.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 0))
+    assert again.count() == 0
+    assert idx.table.scan().count() == corpus.count()
