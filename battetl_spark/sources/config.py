@@ -99,20 +99,18 @@ def read_unstructured(spark, path: str, reader_kwargs: dict | None = None):
     SpreadsheetML reader on the driver (gated, small files only — the
     reference's pd.read_excel is likewise an eager single-node read)."""
     kw = reader_kwargs or {}
-    if path.lower().endswith(".xls"):
-        # binary OLE .xls is NOT SpreadsheetML — letting it fall through to
-        # the CSV reader would yield silent garbage rows
-        raise NotImplementedError(
-            "legacy binary .xls is not supported (no OLE codec in this "
-            "environment); convert to .xlsx or CSV"
-        )
-    if path.lower().endswith((".xlsx", ".xlsm")):
+    if path.lower().endswith((".xlsx", ".xlsm", ".xls")):
+        if path.lower().endswith(".xls"):
+            # legacy binary OLE/BIFF8 — round-5 stdlib reader (sources/xls.py)
+            from battetl_spark.sources.xls import read_xls_grid as _grid
+        else:
+            _grid = read_xlsx_grid
         header = int(kw.get("header", 0))
         skiprows = int(kw.get("skiprows", 0))
-        grid = read_xlsx_grid(path, sheet=int(kw.get("sheet", 1)))[skiprows:]
+        grid = _grid(path, sheet=int(kw.get("sheet", 1)))[skiprows:]
         if header >= len(grid):
             raise ValueError(
-                f"xlsx sheet has {len(grid)} rows after skiprows={skiprows}; "
+                f"sheet has {len(grid)} rows after skiprows={skiprows}; "
                 f"header row {header} does not exist"
             )
         cols = [c or f"col_{i}" for i, c in enumerate(grid[header])]

@@ -148,3 +148,68 @@ def test_binary_datasheet_dim_column(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(FileNotFoundError):
         attach_datasheet({"cell_type": "A", "datasheet": str(tmp_path / "nope.pdf")})
+
+
+def test_read_xls_biff8_roundtrip(spark, tmp_path):
+    """From-scratch OLE2+BIFF8 .xls reader (round-5; reference
+    Extractor.py:127-187 pd.read_excel path) — every cell-record family
+    round-trips exactly through the test writer, including an SST split
+    across a CONTINUE record that switches character width mid-string."""
+    from battetl_spark.sources.xls import read_xls_grid
+    from tests import xls_writer as W
+
+    long_s = "latin-part-" + "é" * 4 + "αβγδ"  # tail goes wide (utf-16)
+    strings = ["Cycle", "Current (A)", long_s]
+    sst = W.sst_records(strings, split=(2, 11))  # split inside string 2
+
+    sheet1 = W.sheet_stream(
+        W.labelsst(0, 0, 0)            # "Cycle"
+        + W.labelsst(0, 1, 1)          # "Current (A)"
+        + W.labelsst(0, 2, 2)          # the split string
+        + W.number(1, 0, 1.0)
+        + W.number(1, 1, -0.51)
+        + W.rk_int(1, 2, 42)
+        + W.rk_int(2, 0, 12345, div100=True)   # 123.45
+        + W.rk_float(2, 1, 1.5)
+        + W.mulrk(3, 0, [7, 8, 9])
+        + W.boolerr(4, 0, True)
+        + W.formula_num(4, 1, 2.75)
+        + W.label(4, 2, "inline")
+    )
+    sheet2 = W.sheet_stream(W.number(0, 0, 99.0))
+    wb = W.workbook_stream([sheet1, sheet2], sst=sst)
+    path = str(tmp_path / "t.xls")
+    W.write_ole_xls(path, wb)
+
+    grid = read_xls_grid(path, sheet=1)
+    assert grid[0] == ["Cycle", "Current (A)", long_s]
+    assert grid[1] == ["1", "-0.51", "42"]
+    assert grid[2] == ["123.45", "1.5"]
+    assert grid[3] == ["7", "8", "9"]
+    assert grid[4] == ["TRUE", "2.75", "inline"]
+    assert read_xls_grid(path, sheet=2) == [["99"]]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_xls_grid(path, sheet=3)
+
+
+def test_read_unstructured_xls_dispatch(spark, tmp_path):
+    """read_unstructured routes .xls through the BIFF8 reader with the same
+    header/skiprows semantics as the xlsx path."""
+    from battetl_spark.sources.config import read_unstructured
+    from tests import xls_writer as W
+
+    sheet = W.sheet_stream(
+        W.label(0, 0, "junk preamble")
+        + W.label(1, 0, "a") + W.label(1, 1, "b")
+        + W.number(2, 0, 1.0) + W.number(2, 1, 2.0)
+        + W.number(3, 0, 3.0) + W.number(3, 1, 4.0)
+    )
+    path = str(tmp_path / "u.xls")
+    W.write_ole_xls(path, W.workbook_stream([sheet]))
+    df = read_unstructured(spark, path, {"skiprows": 1, "header": 0})
+    assert df.columns == ["a", "b"]
+    rows = sorted((r["a"], r["b"]) for r in df.collect())
+    assert rows == [("1", "2"), ("3", "4")]
