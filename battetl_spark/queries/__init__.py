@@ -1,0 +1,63 @@
+"""Driver-contract query surface, split by operator family (round 5).
+
+__spark_entry__.py aggregates these into queries()/oracle_sql(); keeping
+each family in its own module makes per-query driver plan-build cost
+(py4j chatter — the round-4 lesson) attributable to one file.
+"""
+
+from battetl_spark.queries.cdc import (  # noqa: F401
+    q_lww_latest_per_key,
+    q_cdc_replay,
+    q_watermark_filter,
+    q_dim_upsert_keys,
+    q_minmax_meta_refresh,
+    q_anti_join_new_keys,
+)
+from battetl_spark.queries.windows import (  # noqa: F401
+    q_running_cumsum,
+    q_lag_delta,
+    q_fractional_crossing,
+    q_first_last,
+    q_user_rollup,
+    q_groupby_agg,
+    q_join_enrich,
+    q_sorted_topk,
+    q_union_distinct,
+)
+from battetl_spark.queries.scalars import (  # noqa: F401
+    q_unit_milli_scale,
+    q_interval_parse,
+    q_datetime_parse_roundtrip,
+    q_tz_to_utc,
+    q_json_extract,
+    q_json_pack,
+)
+from battetl_spark.queries.relational import (  # noqa: F401
+    q_asof_join,
+    q_range_join_count,
+    q_time_bucket_rollup,
+    q_sessionize,
+)
+from battetl_spark.queries.text import (  # noqa: F401
+    q_doc_exact_dedup,
+    q_doc_token_count,
+    q_doc_quality,
+    q_doc_langid,
+    q_doc_fingerprint,
+    q_doc_bpe_tokens,
+    q_doc_ngram_jaccard,
+    q_doc_minhash_dedup,
+    q_doc_minhash_incremental,
+    q_doc_simhash,
+    q_corpus_clean,
+)
+from battetl_spark.queries.ann import (  # noqa: F401
+    q_ann_cosine_topk,
+    q_emb_near_dup,
+    q_emb_near_dup_incremental,
+    q_ann_lsh_topk,
+    q_ann_ivf_topk,
+)
+
+from battetl_spark.queries._shared import _t  # noqa: F401
+from battetl_spark.queries.oracles import oracle_sql  # noqa: F401

@@ -1,0 +1,544 @@
+"""DuckDB oracle SQL for every queries() entry (driver correctness gate).
+
+Moved verbatim from __spark_entry__.py (round 5 split). Column aliases and
+rounding match the Spark side exactly — the driver hashes values after
+sorting columns by name.
+"""
+
+from __future__ import annotations
+
+
+def _jaccard_pairs_sql(threshold: float) -> str:
+    """Exhaustive all-pairs exact word-3-shingle Jaccard (ground truth for
+    both the prefix-filter and the minhash-verified near-dup queries).
+    DuckDB computes Jaccard over shingle STRINGS; Spark over shingle HASHES —
+    isomorphic set representations (xxhash64 is injective on this corpus)."""
+    return rf"""
+        WITH norm AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                     range(1, greatest(len(w) - 2, 1) + 1),
+                     i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+          FROM norm
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s)) * 1.0
+                     / len(list_distinct(a.s || b.s)), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s)) * 1.0
+              / len(list_distinct(a.s || b.s)) >= {threshold}
+    """
+
+
+def _simhash_pairs_sql(max_hamming: int) -> str:
+    """Exhaustive all-pairs SimHash hamming oracle. Reproduces the engine's
+    signature exactly: token hash bit b = bit (b%4) of md5 hex digit b//4;
+    vote = sum(±1); signature bit set iff vote > 0; stored as two 32-bit
+    halves so xor/bit_count stay sign-free."""
+    votes = ", ".join(
+        f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1)"
+        f" >> {b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << (b - 32)} ELSE 0 END)" for b in range(32, 64)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(0, 32)
+    )
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, md5(t) AS h FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+            FROM documents)
+        ),
+        bits AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id),
+        sigs AS (
+          SELECT doc_id, ({hi})::BIGINT AS hi, ({lo})::BIGINT AS lo FROM bits
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::INT
+                 AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+              <= {max_hamming}
+    """
+
+
+def _ann_lsh_sql(dim: int, num_planes: int, k: int) -> str:
+    """Full-fidelity oracle of the approximate LSH pipeline: identical
+    md5-derived ±1 planes, identical integer-quantized (order-independent)
+    bucket bits, identical in-bucket exact-cosine re-rank."""
+    from battetl_spark.analytics.similarity import QUANT, plane_signs
+
+    signs = plane_signs(num_planes, dim)
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product("
+        f"list_transform(embedding::DOUBLE[], x -> floor(x * {QUANT})), "
+        f"CAST([{', '.join(f'{s}.0' for s in signs[p])}] AS DOUBLE[])) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(num_planes)
+    ) or "0"
+    return f"""
+        WITH withb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket_terms}) AS bucket
+          FROM embeddings
+        ),
+        q AS (
+          SELECT vec_id AS query_id, v AS qv, bucket FROM withb
+          WHERE vec_id < 5
+        ),
+        sims AS (
+          SELECT q.query_id, e.vec_id,
+                 round(list_dot_product(e.v, q.qv)
+                       / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+          FROM withb e JOIN q ON e.bucket = q.bucket
+          WHERE e.vec_id <> q.query_id
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM sims
+        )
+        SELECT query_id, vec_id, cos_sim, rank::INT AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def oracle_sql() -> dict[str, str]:
+    stop = r"\b(the|a|and|of|to|in|is|it|for|on)\b"
+    lang_scores = ", ".join(
+        f"len(regexp_extract_all(lower(text), '\\b({'|'.join(m)})\\b')) AS s_{lg}"
+        for lg, m in {
+            "en": ["the", "and", "is", "of", "to"],
+            "es": ["el", "la", "de", "que", "y"],
+            "de": ["der", "die", "und", "das", "ist"],
+            "fr": ["le", "la", "les", "et", "est"],
+        }.items()
+    )
+    return {
+        "lww_latest_per_key": """
+            SELECT user_id,
+                   max(event_id) AS last_event_id,
+                   arg_max(event_type, event_id) AS last_event_type,
+                   round(arg_max(value, event_id), 6) AS last_value,
+                   arg_max(ts, event_id) AS last_ts
+            FROM events GROUP BY user_id
+        """,
+        "cdc_replay": """
+            WITH ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY event_id DESC) AS rn
+              FROM events
+            )
+            SELECT user_id, event_id AS last_event_id,
+                   event_type AS last_event_type,
+                   round(value, 6) AS last_value
+            FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "watermark_filter": """
+            SELECT user_id, count(*)::BIGINT AS n_new,
+                   min(event_id) AS first_new_id
+            FROM events
+            WHERE event_id > (SELECT max(event_id) / 2.0 FROM events)
+            GROUP BY user_id
+        """,
+        "dim_upsert_keys": """
+            SELECT DISTINCT user_id, event_type,
+                   md5(user_id::VARCHAR || '|' || event_type) AS surrogate_id
+            FROM events
+        """,
+        "minmax_meta_refresh": """
+            SELECT user_id, min(ts) AS first_recorded, max(ts) AS last_recorded,
+                   count(*)::BIGINT AS n_rows
+            FROM events GROUP BY user_id
+        """,
+        "anti_join_new_keys": """
+            WITH wm AS (SELECT max(event_id) * 0.99 AS w FROM events),
+            existing AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS bucket_hour
+                         FROM events, wm WHERE event_id <= w),
+            incoming AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS bucket_hour
+                         FROM events, wm WHERE event_id > w)
+            SELECT i.user_id, i.bucket_hour
+            FROM incoming i LEFT JOIN existing e
+              ON i.user_id = e.user_id AND i.bucket_hour = e.bucket_hour
+            WHERE e.user_id IS NULL
+        """,
+        "running_cumsum": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                   AS cum_value
+            FROM events WHERE user_id < 40
+        """,
+        "lag_delta": """
+            WITH d AS (
+              SELECT user_id,
+                     value - lag(value) OVER (PARTITION BY user_id
+                                              ORDER BY event_id) AS delta
+              FROM events
+            )
+            SELECT user_id,
+                   round(sum(CASE WHEN delta > 0 THEN delta END), 6) AS sum_pos_delta,
+                   count(CASE WHEN delta < 0 THEN 1 END)::BIGINT AS n_neg_delta
+            FROM d GROUP BY user_id
+        """,
+        "fractional_crossing": """
+            WITH d AS (
+              SELECT user_id, event_id,
+                     sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     sum(value) OVER (PARTITION BY user_id) AS total
+              FROM events WHERE user_id < 40
+            )
+            SELECT user_id,
+                   min(CASE WHEN cum >= 0.5 * total THEN event_id END)
+                   AS half_crossing_event_id
+            FROM d GROUP BY user_id
+        """,
+        "first_last": """
+            SELECT user_id,
+                   arg_min(value, event_id) AS first_value,
+                   arg_max(value, event_id) AS last_value
+            FROM events GROUP BY user_id
+        """,
+        "user_rollup": """
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+                   round(sum(value), 4) AS total_value,
+                   max(ts) AS last_ts
+            FROM events GROUP BY user_id
+        """,
+        "groupby_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_enrich": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "sorted_topk": """
+            SELECT event_id, user_id, round(value, 6) AS value
+            FROM events ORDER BY value DESC, event_id LIMIT 100
+        """,
+        "union_distinct": """
+            SELECT DISTINCT user_id FROM (
+              SELECT user_id FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT user_id FROM events WHERE event_type = 'purchase'
+            )
+        """,
+        "unit_milli_scale": """
+            SELECT event_id,
+                   round((floor(value) * 1000 + event_id % 1000 + 0.25) * 1000,
+                         2) AS value_milli
+            FROM events
+        """,
+        "interval_parse": """
+            SELECT event_id,
+                   round((user_id % 3) * 86400 + 12 * 3600 + 34 * 60
+                         + (event_id % 60), 3)::DOUBLE AS interval_s
+            FROM events
+        """,
+        "datetime_parse_roundtrip": """
+            SELECT event_id,
+                   floor(epoch(ts))::BIGINT AS unixtime_s
+            FROM events
+        """,
+        "tz_to_utc": """
+            SELECT event_id,
+                   floor(epoch(ts AT TIME ZONE 'America/Los_Angeles'))::BIGINT
+                   AS utc_unixtime_s
+            FROM events
+        """,
+        "json_extract": """
+            SELECT event_type,
+                   sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+                   count(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                         THEN 1 END)::BIGINT AS n_null_k
+            FROM events GROUP BY event_type
+        """,
+        "json_pack": """
+            SELECT event_id,
+                   to_json(struct_pack(event_type := event_type,
+                                       user_id := user_id)) AS other_details
+            FROM events WHERE event_id < 1000
+        """,
+        "asof_join": """
+            WITH p AS (SELECT user_id, event_id, round(value, 6) AS purchase_value
+                       FROM events WHERE event_type = 'purchase'),
+                 v AS (SELECT user_id, event_id, round(value, 6) AS value
+                       FROM events WHERE event_type = 'view')
+            SELECT p.user_id, p.event_id, p.purchase_value,
+                   round(v.value, 6) AS value_asof
+            FROM p ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND p.event_id >= v.event_id
+        """,
+        "range_join_count": """
+            WITH p AS (SELECT user_id, event_id FROM events
+                       WHERE event_type = 'purchase'),
+                 v AS (SELECT user_id, event_id FROM events
+                       WHERE event_type = 'view')
+            SELECT p.user_id, p.event_id,
+                   count(v.event_id)::BIGINT AS n_in_range
+            FROM p LEFT JOIN v
+              ON p.user_id = v.user_id
+             AND v.event_id >= p.event_id - 1000
+             AND v.event_id < p.event_id
+            GROUP BY p.user_id, p.event_id
+        """,
+        "time_bucket_rollup": """
+            SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+                   count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                          (PARTITION BY user_id ORDER BY ts)) > 3600
+                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             IS NULL
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            )
+            SELECT user_id, sum(new_sess)::BIGINT AS n_sessions,
+                   count(*)::BIGINT AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "doc_exact_dedup": """
+            SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+                   count(*)::BIGINT AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "doc_token_count": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+'))::INT AS n_tokens
+            FROM documents
+        """,
+        "doc_quality": rf"""
+            WITH f AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                     length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                       AS n_punct,
+                     len(regexp_extract_all(lower(text), '{stop}')) AS n_stop,
+                     length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace
+              FROM documents
+            )
+            SELECT doc_id, n_tokens::INT AS q_n_tokens,
+                   round(n_punct / greatest(n_chars, 1), 6) AS q_punct_ratio,
+                   round(n_stop / greatest(n_tokens, 1), 6) AS q_stop_ratio,
+                   round(
+                     least(n_tokens / 64.0, 1.0) * 0.4
+                     + least((n_stop / greatest(n_tokens, 1)) * 4.0, 1.0) * 0.3
+                     + (1.0 - least((n_punct / greatest(n_chars, 1)) * 10.0, 1.0)) * 0.2
+                     + (CASE WHEN n_nospace / greatest(n_tokens, 1) BETWEEN 3 AND 8
+                        THEN 0.1 ELSE 0.0 END), 6) AS q_score
+            FROM f
+        """,
+        "doc_langid": rf"""
+            WITH s AS (SELECT doc_id, {lang_scores} FROM documents),
+            p AS (
+              SELECT doc_id,
+                     greatest(s_de, s_en, s_es, s_fr) AS best,
+                     CASE
+                       WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                       ELSE 'fr'
+                     END AS pred_lang
+              FROM s
+            )
+            SELECT pred_lang, count(*)::BIGINT AS n_docs FROM p GROUP BY pred_lang
+        """,
+        "doc_bpe_tokens": r"""
+            SELECT doc_id,
+                   list_sum(list_transform(
+                       regexp_split_to_array(trim(text), '\s+'),
+                       w -> ceil(length(w) / 4.0)))::INT AS n_pieces
+            FROM documents
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS content_md5
+            FROM documents
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 5
+            ),
+            sims AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                    e.embedding::DOUBLE[]))
+                              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, vec_id) AS rank
+              FROM sims
+            )
+            SELECT query_id, vec_id, cos_sim, rank::INT AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "corpus_clean": rf"""
+            WITH f AS (
+              SELECT doc_id, lang, text,
+                     length(text) AS n_chars,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                     length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                       AS n_punct,
+                     len(regexp_extract_all(lower(text), '{stop}')) AS n_stop,
+                     length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace
+              FROM documents WHERE lang IN ('en', 'de')
+            ),
+            scored AS (
+              SELECT doc_id, lang, text,
+                     round(
+                       least(n_tokens / 64.0, 1.0) * 0.4
+                       + least((n_stop / greatest(n_tokens, 1)) * 4.0, 1.0) * 0.3
+                       + (1.0 - least((n_punct / greatest(n_chars, 1)) * 10.0,
+                                      1.0)) * 0.2
+                       + (CASE WHEN n_nospace / greatest(n_tokens, 1)
+                          BETWEEN 3 AND 8 THEN 0.1 ELSE 0.0 END), 6) AS q_score
+              FROM f
+            ),
+            filtered AS (SELECT * FROM scored WHERE q_score >= 0.5),
+            winners AS (
+              SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5(text)
+            ),
+            kept AS (SELECT s.* FROM filtered s JOIN winners USING (doc_id)),
+            norm AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+              FROM kept
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, greatest(len(w) - 2, 1) + 1),
+                         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+              FROM norm
+            ),
+            losers AS (
+              SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s)) * 1.0
+                    / len(list_distinct(a.s || b.s)) >= 0.8
+            )
+            SELECT k.doc_id, k.lang, k.q_score
+            FROM kept k LEFT JOIN losers l ON k.doc_id = l.doc_id
+            WHERE l.doc_id IS NULL
+        """,
+        "ann_ivf_topk": """
+            WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            flat AS (SELECT label, unnest(v) AS val,
+                            generate_subscripts(v, 1) AS dim FROM e),
+            cent AS (
+              SELECT label, list(round(a, 6) ORDER BY dim) AS c
+              FROM (SELECT label, dim, avg(val) AS a FROM flat
+                    GROUP BY label, dim)
+              GROUP BY label
+            ),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+            probes AS (
+              SELECT query_id, label, qv FROM (
+                SELECT q.query_id, cent.label, q.qv,
+                       row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY round(list_dot_product(q.qv, cent.c)
+                               / (sqrt(list_dot_product(q.qv, q.qv))
+                                  * sqrt(list_dot_product(cent.c, cent.c))), 9)
+                               DESC, cent.label) AS cr
+                FROM q, cent)
+              WHERE cr <= 2
+            ),
+            sims AS (
+              SELECT p.query_id, e.vec_id,
+                     round(list_dot_product(e.v, p.qv)
+                           / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(p.qv, p.qv))), 6)
+                       AS cos_sim
+              FROM e JOIN probes p ON e.label = p.label
+              WHERE e.vec_id <> p.query_id
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, vec_id) AS rank
+              FROM sims
+            )
+            SELECT query_id, vec_id, cos_sim, rank::INT AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "emb_near_dup": """
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            aug AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id + 100000, list_transform(v, x -> x * 0.999 + 0.0003)
+              FROM base WHERE vec_id < 25
+            ),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))) AS c
+              FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(c, 6) AS cos_sim
+            FROM pairs WHERE c >= 0.9
+        """,
+        "emb_near_dup_incremental": """
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            aug AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id + 100000, list_transform(v, x -> x * 0.999 + 0.0003)
+              FROM base WHERE vec_id < 25
+            ),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))) AS c
+              FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(c, 6) AS cos_sim
+            FROM pairs WHERE c >= 0.9
+        """,
+        "doc_ngram_jaccard": _jaccard_pairs_sql(0.4),
+        "doc_minhash_dedup": _jaccard_pairs_sql(0.8),
+        "doc_minhash_incremental": _jaccard_pairs_sql(0.8),
+        "doc_simhash": _simhash_pairs_sql(3),
+        "ann_lsh_topk": _ann_lsh_sql(dim=64, num_planes=4, k=10),
+    }

@@ -1,0 +1,67 @@
+"""Composed relational operators (as-of join, range join, rollup, sessionize).
+
+Moved verbatim from __spark_entry__.py (round 5: the query surface split
+by family so per-query driver plan-build cost attributes to one module).
+Each docstring cites its reference analog file:line.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from battetl_spark.queries._shared import _t
+
+
+def q_asof_join(spark, sf):
+    """As-of join: each purchase enriched with the latest prior view's value
+    per user (log-structured union+forward-fill idiom, one shuffle)."""
+    from battetl_spark.operators import asof_join
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.round("value", 6).alias("purchase_value")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", F.round("value", 6).alias("value")
+    )
+    out = asof_join(purchases, views, ["user_id"], "event_id", ["value"])
+    return out.select(
+        "user_id", "event_id", "purchase_value",
+        F.round("value_asof", 6).alias("value_asof"),
+    )
+
+
+def q_range_join_count(spark, sf):
+    """Range join: views within the 1000 event-ids before each purchase."""
+    from battetl_spark.operators import range_join_count
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "event_id")
+    return range_join_count(purchases, views, ["user_id"], "event_id", 0, 1000)
+
+
+def q_time_bucket_rollup(spark, sf):
+    """Hypertable rollup: hourly buckets per event_type."""
+    from battetl_spark.operators import time_bucket_rollup
+
+    ev = _t(spark, sf, "events")
+    return time_bucket_rollup(
+        ev, "ts", "hour", ["event_type"],
+        [F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")],
+    )
+
+
+def q_sessionize(spark, sf):
+    """Gap-based sessionization (1h gap) → sessions per user."""
+    from battetl_spark.operators import sessionize
+
+    ev = _t(spark, sf, "events")
+    s = sessionize(ev, ["user_id"], "ts", 3600.0)
+    return s.groupBy("user_id").agg(
+        (F.max("session_id") + 1).alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )

@@ -1,0 +1,133 @@
+"""Text training-data operators over the documents table (build brief).
+
+Moved verbatim from __spark_entry__.py (round 5: the query surface split
+by family so per-query driver plan-build cost attributes to one module).
+Each docstring cites its reference analog file:line.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from battetl_spark.queries._shared import _t
+
+
+def q_doc_exact_dedup(spark, sf):
+    from battetl_spark.analytics.textops import exact_dedup
+
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+def q_doc_token_count(spark, sf):
+    from battetl_spark.analytics.textops import token_count
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+def q_doc_quality(spark, sf):
+    from battetl_spark.analytics.textops import quality_features
+
+    d = _t(spark, sf, "documents")
+    return quality_features(d).select(
+        "doc_id", "q_n_tokens", "q_punct_ratio", "q_stop_ratio", "q_score"
+    )
+
+
+def q_doc_langid(spark, sf):
+    from battetl_spark.analytics.textops import lang_id
+
+    d = _t(spark, sf, "documents")
+    return lang_id(d).groupBy("pred_lang").agg(F.count("*").alias("n_docs"))
+
+
+def q_doc_fingerprint(spark, sf):
+    from battetl_spark.analytics.textops import normalized_text
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", F.md5(normalized_text("text")).alias("content_md5"))
+
+
+def q_doc_bpe_tokens(spark, sf):
+    from battetl_spark.analytics.textops import bpe_ish_token_count
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", bpe_ish_token_count("text").alias("n_pieces"))
+
+
+def q_doc_ngram_jaccard(spark, sf):
+    """Exact n-gram Jaccard pairs via prefix-filter (AllPairs/PPJoin)
+    blocking — GUARANTEED recall, so the output equals the exhaustive
+    all-pairs DuckDB oracle exactly."""
+    from battetl_spark.analytics.textops import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.4)
+
+
+def q_doc_minhash_dedup(spark, sf):
+    """MinHash-LSH candidates + exact-Jaccard verify: emitted pairs equal the
+    exhaustive all-pairs answer (per-pair miss prob ~8e-8 at j=0.8 with
+    16 bands of 2 hashes; the corpus's true pairs sit at j>=0.8), so the
+    DuckDB oracle is the ground truth. rows_per_band='auto' (round 5) stays
+    at r=2 at driver SFs (candidate mass under budget → identical results)
+    and escalates only on low-entropy corpora where fixed r=2 explodes."""
+    from battetl_spark.analytics.textops import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf, "documents"),
+        num_hashes=32,
+        jaccard_threshold=0.8,
+        rows_per_band="auto",
+        verify="exact",
+    )
+
+
+def q_doc_minhash_incremental(spark, sf):
+    """Incremental near-dup against a PERSISTED signature index (round-5):
+    the corpus arrives as three deterministic batches (doc_id mod 3); each
+    batch computes only its own signatures, band-joins against the stored
+    index + itself, exact-verifies, and appends its signatures. The union
+    of per-batch pair outputs must equal the full-corpus exhaustive oracle
+    (every unordered pair is found exactly once, by the batch ingesting its
+    later member). Mirrors the reference's only-new-rows incremental load
+    (/root/reference/battetl/load/Loader.py:144-234)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from battetl_spark.analytics.sig_index import MinHashIndex
+
+    docs = _t(spark, sf, "documents")
+    idx = MinHashIndex.create(
+        spark, tempfile.mkdtemp(prefix="mh_incr_") + "/idx"
+    )
+    out = None
+    for i in range(3):
+        pairs = idx.add_batch(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i),
+            jaccard_threshold=0.8,
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out
+
+
+def q_doc_simhash(spark, sf):
+    """SimHash near-dup pairs — signatures are md5-hex bit votes (pure
+    Catalyst), blocking is the 4×16-bit pigeonhole (guaranteed recall at
+    hamming<=3), so DuckDB reproduces the output bit-for-bit."""
+    from battetl_spark.analytics.textops import simhash_near_dups
+
+    return simhash_near_dups(_t(spark, sf, "documents"), max_hamming=3)
+
+
+def q_corpus_clean(spark, sf):
+    """The composed training-data cleaning pipeline: language filter →
+    quality filter → exact dedup → exact-verified near-dup dedup. Every
+    stage reuses an oracle-green operator, so the whole pipeline is
+    oracle-verified end-to-end."""
+    from battetl_spark.analytics.textops import clean_corpus
+
+    return clean_corpus(
+        _t(spark, sf, "documents"), min_quality=0.5, langs=("en", "de")
+    )
