@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "corpus_clean": q_corpus_clean,
+        "corpus_clean_incremental": q_corpus_clean_incremental,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_minhash_dedup": q_doc_minhash_dedup,
         "doc_minhash_incremental": q_doc_minhash_incremental,

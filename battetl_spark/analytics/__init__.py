@@ -4,3 +4,4 @@ from battetl_spark.analytics.cache import cache_scope  # noqa: F401
 from battetl_spark.analytics.sig_index import MinHashIndex  # noqa: F401
 from battetl_spark.analytics.sig_index import SimHashIndex  # noqa: F401
 from battetl_spark.analytics.sig_index import EmbeddingIndex  # noqa: F401
+from battetl_spark.analytics.clean_stream import IncrementalCorpusCleaner  # noqa: F401,E501

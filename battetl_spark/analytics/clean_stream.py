@@ -1,0 +1,220 @@
+"""Incremental corpus cleaning into a CDC-maintained LakeTable — the
+round-5 capstone integration: the analytics operators FEED the engine's own
+merge path, so a 100-TB training-data pipeline cleans each ingest batch
+against persisted state instead of recomputing the corpus.
+
+Batch semantics being maintained incrementally (``textops.clean_corpus``):
+language filter → quality filter → exact dedup (min-id winner per md5
+digest) → near-dup dedup (drop ``id_b`` of every verified minhash pair
+among exact winners). ``IncrementalCorpusCleaner`` reproduces that answer
+batch-by-batch under the reference's only-new-rows watermark model
+(/root/reference/battetl/load/Loader.py:144-234): batches arrive in
+doc_id order (ids monotone with ingest time — the realistic case), so
+
+- an exact duplicate of an indexed digest is ALWAYS the non-winner (the
+  indexed winner has the smaller id) — dropped, no retraction;
+- every near-dup pair's ``id_b`` (the larger id) is ALWAYS in the current
+  batch — the pair's drop victim is decided exactly once, when its later
+  member arrives (the MinHashIndex pair-ownership rule);
+- the output table is therefore append-only per batch, and its final state
+  equals ``clean_corpus`` over the whole corpus (pinned by
+  ``test_incremental_corpus_cleaner_equals_batch`` and the
+  ``corpus_clean_incremental`` oracle query).
+
+Rows at or below the watermark are filtered out (idempotent re-ingest —
+the reference's 0-row re-load, tests/test_Loader.py:341-343); the
+watermark advances atomically AFTER the fenced merge commit, so a crash
+between them replays the batch into the fence (exactly-once either way).
+
+State on disk (all snapshot-isolated LakeTables + one meta pointer):
+``digests/`` (md5 → winner id), ``sig/`` (MinHashIndex of exact winners —
+ALL winners, dropped-or-not: the batch rule computes pairs among winners,
+not survivors), ``out/`` (doc_id, lang, q_score keyed by doc_id,
+maintained via ``merge_apply`` change events), ``meta.json`` (watermark).
+
+Scale shape: per batch — one quality/language projection over batch rows,
+one digest anti-join (index side prunes to (digest, keep_id)), one
+MinHashIndex.add_batch (batch-only signatures + banded join vs the index),
+one fenced merge commit. Nothing rescans corpus text.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from battetl_spark.analytics.sig_index import MinHashIndex
+from battetl_spark.analytics.textops import exact_dedup, quality_features
+from battetl_spark.cdc import merge_apply
+from battetl_spark.lake import LakeTable
+
+DIGEST_SCHEMA = T.StructType(
+    [
+        T.StructField("digest", T.StringType(), False),
+        T.StructField("keep_id", T.LongType(), False),
+    ]
+)
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("q_score", T.DoubleType(), True),
+        T.StructField("_last_lsn", T.LongType(), False),
+        T.StructField("_deleted", T.BooleanType(), True),
+    ]
+)
+
+_META = "meta.json"
+
+
+class IncrementalCorpusCleaner:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.out = LakeTable.load(spark, os.path.join(self.path, "out"))
+        self.digests = LakeTable.load(spark, os.path.join(self.path, "digests"))
+        self.sig = MinHashIndex.open(spark, os.path.join(self.path, "sig"))
+        cfg = json.loads(self.out.snapshot()["properties"]["corpus_cleaner"])
+        self.min_quality = float(cfg["min_quality"])
+        self.langs = tuple(cfg["langs"])
+        self.near_dup_threshold = float(cfg["near_dup_threshold"])
+
+    # ------------------------------------------------------------- lifecycle
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        min_quality: float = 0.5,
+        langs: tuple[str, ...] = ("en",),
+        near_dup_threshold: float = 0.8,
+        num_buckets: int = 16,
+    ) -> "IncrementalCorpusCleaner":
+        path = os.path.abspath(path)
+        os.makedirs(path, exist_ok=True)
+        LakeTable.create(
+            spark, os.path.join(path, "out"), OUT_SCHEMA,
+            num_buckets=num_buckets, bucket_key="doc_id",
+            key_cols=["doc_id"], sort_cols=["doc_id"],
+            properties={
+                "corpus_cleaner": json.dumps(
+                    {
+                        "min_quality": float(min_quality),
+                        "langs": list(langs),
+                        "near_dup_threshold": float(near_dup_threshold),
+                    }
+                )
+            },
+        )
+        LakeTable.create(
+            spark, os.path.join(path, "digests"), DIGEST_SCHEMA,
+            num_buckets=num_buckets, bucket_key="digest",
+        )
+        MinHashIndex.create(
+            spark, os.path.join(path, "sig"), num_buckets=num_buckets
+        )
+        with open(os.path.join(path, _META), "w") as f:
+            json.dump({"watermark": -1}, f)
+        return cls(spark, path)
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "IncrementalCorpusCleaner":
+        return cls(spark, path)
+
+    def watermark(self) -> int:
+        with open(os.path.join(self.path, _META)) as f:
+            return int(json.load(f)["watermark"])
+
+    def _set_watermark(self, v: int) -> None:
+        tmp = os.path.join(self.path, f".{_META}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"watermark": int(v)}, f)
+        os.replace(tmp, os.path.join(self.path, _META))
+
+    # ---------------------------------------------------------------- ingest
+    def add_batch(
+        self,
+        docs: DataFrame,
+        epoch_id: int,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        lang_col: str = "lang",
+    ) -> dict:
+        """Clean one monotone-id batch into the output table. Returns
+        per-batch counts. Re-ingest below the watermark is a no-op; a
+        replayed epoch is fenced by the merge commit."""
+        wm = self.watermark()
+        new = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+            F.col(lang_col).alias("lang"),
+        ).filter(F.col("doc_id") > wm)
+        max_seen = new.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+        if max_seen is None:
+            return {"seen": 0, "kept": 0}
+
+        # language + quality filters — the ROUNDED score, exactly as the
+        # batch pipeline filters it
+        q = quality_features(new.filter(F.col("lang").isin(*self.langs)), "text")
+        filtered = q.filter(F.col("q_score") >= self.min_quality).select(
+            "doc_id", "lang", "q_score"
+        )
+        base = new.join(filtered.select("doc_id"), "doc_id")
+
+        # exact dedup vs the persisted digest index: an indexed digest's
+        # winner has a smaller id by monotonicity, so batch docs matching
+        # one are non-winners; within the batch the min id wins
+        batch_winners = (
+            exact_dedup(base, "doc_id", "text")
+            .select("digest", "keep_id")
+            .join(self.digests.scan().select("digest"), "digest", "left_anti")
+        )
+        self.digests.append(batch_winners)
+        winners_docs = base.join(
+            batch_winners.select(F.col("keep_id").alias("doc_id")), "doc_id"
+        )
+
+        # near-dup pairs vs ALL indexed exact winners (the batch rule
+        # computes pairs among winners, not survivors); monotone ids put
+        # every pair's id_b in this batch
+        pairs = self.sig.add_batch(
+            winners_docs.select("doc_id", "text"),
+            jaccard_threshold=self.near_dup_threshold,
+        )
+        dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        survivors = winners_docs.select("doc_id").join(
+            dropped, "doc_id", "left_anti"
+        )
+
+        events = (
+            survivors.join(filtered, "doc_id")
+            .select(
+                F.col("doc_id").alias("lsn"),
+                F.lit("i").alias("op"),
+                "doc_id",
+                "lang",
+                "q_score",
+                F.pmod(F.col("doc_id"), F.lit(16)).cast("int").alias(
+                    "source_partition"
+                ),
+            )
+        )
+        result = merge_apply(
+            self.out, events, epoch_id=epoch_id, key_cols=["doc_id"]
+        )
+        self._set_watermark(max_seen)
+        return {
+            "seen": int(new.count()),
+            "kept": int(result.rows_inserted + result.rows_updated),
+        }
+
+    # ----------------------------------------------------------------- read
+    def result(self) -> DataFrame:
+        """Current cleaned-corpus state — (doc_id, lang, q_score), the
+        ``clean_corpus`` output columns."""
+        return self.out.scan().select("doc_id", "lang", "q_score")

@@ -455,6 +455,55 @@ def oracle_sql() -> dict[str, str]:
             FROM kept k LEFT JOIN losers l ON k.doc_id = l.doc_id
             WHERE l.doc_id IS NULL
         """,
+        "corpus_clean_incremental": rf"""
+            WITH f AS (
+              SELECT doc_id, lang, text,
+                     length(text) AS n_chars,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                     length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                       AS n_punct,
+                     len(regexp_extract_all(lower(text), '{stop}')) AS n_stop,
+                     length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace
+              FROM documents WHERE lang IN ('en', 'de')
+            ),
+            scored AS (
+              SELECT doc_id, lang, text,
+                     round(
+                       least(n_tokens / 64.0, 1.0) * 0.4
+                       + least((n_stop / greatest(n_tokens, 1)) * 4.0, 1.0) * 0.3
+                       + (1.0 - least((n_punct / greatest(n_chars, 1)) * 10.0,
+                                      1.0)) * 0.2
+                       + (CASE WHEN n_nospace / greatest(n_tokens, 1)
+                          BETWEEN 3 AND 8 THEN 0.1 ELSE 0.0 END), 6) AS q_score
+              FROM f
+            ),
+            filtered AS (SELECT * FROM scored WHERE q_score >= 0.5),
+            winners AS (
+              SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5(text)
+            ),
+            kept AS (SELECT s.* FROM filtered s JOIN winners USING (doc_id)),
+            norm AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+              FROM kept
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, greatest(len(w) - 2, 1) + 1),
+                         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+              FROM norm
+            ),
+            losers AS (
+              SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s)) * 1.0
+                    / len(list_distinct(a.s || b.s)) >= 0.8
+            )
+            SELECT k.doc_id, k.lang, k.q_score
+            FROM kept k LEFT JOIN losers l ON k.doc_id = l.doc_id
+            WHERE l.doc_id IS NULL
+        """,
         "ann_ivf_topk": """
             WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
                        FROM embeddings),

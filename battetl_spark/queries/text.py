@@ -131,3 +131,30 @@ def q_corpus_clean(spark, sf):
     return clean_corpus(
         _t(spark, sf, "documents"), min_quality=0.5, langs=("en", "de")
     )
+
+
+def q_corpus_clean_incremental(spark, sf):
+    """Round-5 capstone: the SAME cleaning pipeline maintained
+    incrementally — three monotone doc_id batches flow through
+    IncrementalCorpusCleaner (persisted digest + minhash signature state,
+    output maintained via the engine's own fenced merge path); the final
+    table state must equal the batch clean_corpus answer, so the oracle is
+    identical to corpus_clean's."""
+    import tempfile
+
+    from battetl_spark.analytics.clean_stream import IncrementalCorpusCleaner
+
+    docs = _t(spark, sf, "documents")
+    cl = IncrementalCorpusCleaner.create(
+        spark, tempfile.mkdtemp(prefix="cln_incr_") + "/c",
+        min_quality=0.5, langs=("en", "de"),
+    )
+    lo, hi = (int(x) for x in docs.approxQuantile("doc_id", [0.33, 0.66], 0.0))
+    conds = [
+        F.col("doc_id") <= lo,
+        (F.col("doc_id") > lo) & (F.col("doc_id") <= hi),
+        F.col("doc_id") > hi,
+    ]
+    for i, cond in enumerate(conds):
+        cl.add_batch(docs.filter(cond), epoch_id=i)
+    return cl.result()

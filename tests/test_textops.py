@@ -613,3 +613,53 @@ def test_embedding_incremental_equals_batch(spark, emb, tmp_path):
     again = idx.add_batch(corpus.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 0))
     assert again.count() == 0
     assert idx.table.scan().count() == corpus.count()
+
+
+def test_incremental_corpus_cleaner_equals_batch(spark, docs, tmp_path):
+    """IncrementalCorpusCleaner over monotone doc_id batches must converge
+    to the batch clean_corpus answer exactly (round-5 capstone: analytics
+    state + the engine's own fenced merge path); re-ingest below the
+    watermark and epoch replay are both no-ops, and open() resumes."""
+    from battetl_spark.analytics import IncrementalCorpusCleaner
+
+    full = (
+        TX.clean_corpus(docs, min_quality=0.5, langs=("en", "de"))
+        .orderBy("doc_id").toPandas().reset_index(drop=True)
+    )
+    assert len(full) > 0
+
+    path = str(tmp_path / "cleaner")
+    cl = IncrementalCorpusCleaner.create(
+        spark, path, min_quality=0.5, langs=("en", "de")
+    )
+    lo, hi = (int(x) for x in docs.approxQuantile("doc_id", [0.33, 0.66], 0.0))
+    cl.add_batch(docs.filter(F.col("doc_id") <= lo), epoch_id=0)
+    cl.add_batch(
+        docs.filter((F.col("doc_id") > lo) & (F.col("doc_id") <= hi)),
+        epoch_id=1,
+    )
+    # crash-replay: roll the watermark back (simulating a crash between the
+    # fenced merge commit and the watermark update) and replay epoch 1 —
+    # digests/signatures anti-join to no-ops, the merge fence holds
+    wm = cl.watermark()
+    cl._set_watermark(lo)
+    state_before = cl.result().count()
+    cl.add_batch(
+        docs.filter((F.col("doc_id") > lo) & (F.col("doc_id") <= hi)),
+        epoch_id=1,
+    )
+    assert cl.result().count() == state_before
+    assert cl.watermark() == wm
+
+    # resume through open() for the final batch
+    cl2 = IncrementalCorpusCleaner.open(spark, path)
+    assert (cl2.min_quality, cl2.langs) == (0.5, ("en", "de"))
+    cl2.add_batch(docs.filter(F.col("doc_id") > hi), epoch_id=2)
+
+    inc = cl2.result().orderBy("doc_id").toPandas().reset_index(drop=True)
+    assert inc.equals(full)
+
+    # full re-ingest: watermark filters everything, state unchanged
+    r = cl2.add_batch(docs, epoch_id=9)
+    assert r == {"seen": 0, "kept": 0}
+    assert cl2.result().count() == len(full)
