@@ -101,10 +101,12 @@ ANALYTIC_QUERIES = [
     "doc_minhash_incremental",
     "doc_simhash",
     "corpus_clean",
+    "corpus_clean_incremental",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "emb_near_dup",
+    "emb_near_dup_incremental",
 ]
 
 
@@ -179,7 +181,8 @@ def main():
     # (the MOR ingest mode; a 3-batch index-ingest replay of the corpus) —
     # reported per-query but excluded from the composite so the headline
     # total stays comparable with earlier rounds' query set
-    added = {"cdc_merge_replay_mor", "doc_minhash_incremental"}
+    added = {"cdc_merge_replay_mor", "doc_minhash_incremental",
+         "corpus_clean_incremental", "emb_near_dup_incremental"}
     total = round(sum(v for k, v in timings.items() if k not in added), 3)
     print(
         json.dumps(
