@@ -154,7 +154,10 @@ class IncrementalCorpusCleaner:
             F.col(text_col).alias("text"),
             F.col(lang_col).alias("lang"),
         ).filter(F.col("doc_id") > wm)
-        max_seen = new.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+        hdr = new.agg(
+            F.max("doc_id").alias("m"), F.count("*").alias("n")
+        ).collect()[0]  # ONE aggregate job: watermark + batch size together
+        max_seen, n_seen = hdr["m"], int(hdr["n"])
         if max_seen is None:
             return {"seen": 0, "kept": 0}
 
@@ -209,7 +212,7 @@ class IncrementalCorpusCleaner:
         )
         self._set_watermark(max_seen)
         return {
-            "seen": int(new.count()),
+            "seen": n_seen,
             "kept": int(result.rows_inserted + result.rows_updated),
         }
 
