@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "corpus_clean_incremental": q_corpus_clean_incremental,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_ngram_incremental": q_doc_ngram_incremental,
         "doc_minhash_dedup": q_doc_minhash_dedup,
         "doc_minhash_incremental": q_doc_minhash_incremental,
         "doc_simhash": q_doc_simhash,

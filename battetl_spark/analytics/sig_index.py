@@ -515,3 +515,130 @@ class EmbeddingIndex:
         )
         self.table.append(to_store)
         return pairs
+
+
+NGRAM_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sh", T.ArrayType(T.LongType()), False),  # hash-sorted
+    ]
+)
+
+
+class NgramIndex:
+    """Persisted shingle-set store for incremental exact n-gram Jaccard —
+    the prefix-filtering (AllPairs/PPJoin) member of the incremental dedup
+    family, and the one with the strongest contract: prefix filtering has
+    GUARANTEED recall under ANY global token order, so the per-batch union
+    equals ``textops.ngram_jaccard_pairs`` exactly, with no probabilistic
+    caveat and no banding parameters to freeze at create time — the
+    threshold is a per-call argument because prefixes derive from the
+    STORED sorted shingle arrays at read time (never from text).
+
+    The stored order is the global hash order (``order_by='hash'`` in the
+    batch operator): unlike document-frequency ordering it does not shift
+    as the corpus grows, so prefixes computed against an old index remain
+    valid forever. Candidates join prefix(new) against prefix(index ∪ new)
+    — the shared token must sit in BOTH sides' prefixes (the AllPairs
+    both-side condition), and every candidate is exact-verified.
+    """
+
+    def __init__(self, spark: SparkSession, table: LakeTable):
+        self.spark = spark
+        self.table = table
+        cfg = json.loads(table.snapshot()["properties"]["ngram_index"])
+        self.shingle_k = int(cfg["shingle_k"])
+
+    @classmethod
+    def create(
+        cls, spark: SparkSession, path: str, shingle_k: int = 3,
+        num_buckets: int = 16,
+    ) -> "NgramIndex":
+        return cls(
+            spark,
+            LakeTable.create(
+                spark, path, NGRAM_INDEX_SCHEMA,
+                num_buckets=num_buckets, bucket_key="doc_id",
+                properties={
+                    "ngram_index": json.dumps({"shingle_k": int(shingle_k)})
+                },
+            ),
+        )
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "NgramIndex":
+        return cls(spark, LakeTable.load(spark, path))
+
+    @staticmethod
+    def _prefix_rows(with_sh: DataFrame, threshold: float) -> DataFrame:
+        """(doc_id, tok) rows of each doc's (1-t)-prefix under the global
+        hash order (sh is stored sorted): a pair with J >= t must share a
+        token within BOTH prefixes (AllPairs), so the prefix join has
+        guaranteed recall."""
+        plen = (
+            F.size("sh")
+            - F.ceil(F.lit(float(threshold)) * F.size("sh")).cast("int")
+            + 1
+        )
+        return with_sh.select(
+            "doc_id", F.explode(F.slice("sh", 1, plen)).alias("tok")
+        )
+
+    def add_batch(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        threshold: float = 0.5,
+    ) -> DataFrame:
+        """Ingest one batch; returns exact-verified (id_a, id_b, jaccard)
+        pairs between the batch's NEW docs and the indexed corpus + the
+        batch itself (same only-new-rows / pair-owned-by-later-batch /
+        materialize-before-append contract as MinHashIndex)."""
+        index = self.table.scan()
+        new_docs = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        ).join(index.select("doc_id"), "doc_id", "left_anti")
+        batch_sh = _track(
+            new_docs.select(
+                "doc_id",
+                F.array_sort(
+                    word_shingle_hashes("text", self.shingle_k)
+                ).alias("sh"),
+            )
+        )
+        pfx_new = self._prefix_rows(batch_sh, threshold).alias("a")
+        pfx_all = (
+            self._prefix_rows(index, threshold)
+            .withColumn("__new", F.lit(False))
+            .unionByName(
+                self._prefix_rows(batch_sh, threshold)
+                .withColumn("__new", F.lit(True))
+            )
+            .alias("b")
+        )
+        cand = (
+            pfx_new.join(
+                pfx_all,
+                (F.col("a.tok") == F.col("b.tok"))
+                & (
+                    (~F.col("b.__new")
+                     & (F.col("a.doc_id") != F.col("b.doc_id")))
+                    | (F.col("b.__new")
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+                ),
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        combined_sh = index.select("doc_id", "sh").unionByName(batch_sh)
+        pairs = _track(
+            _exact_jaccard_over(cand, combined_sh, "doc_id", threshold)
+        )
+        pairs.count()  # materialize BEFORE the index mutates
+        self.table.append(batch_sh.select("doc_id", "sh"))
+        return pairs

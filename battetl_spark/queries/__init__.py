@@ -46,6 +46,7 @@ from battetl_spark.queries.text import (  # noqa: F401
     q_doc_fingerprint,
     q_doc_bpe_tokens,
     q_doc_ngram_jaccard,
+    q_doc_ngram_incremental,
     q_doc_minhash_dedup,
     q_doc_minhash_incremental,
     q_doc_simhash,

@@ -586,6 +586,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs WHERE c >= 0.9
         """,
         "doc_ngram_jaccard": _jaccard_pairs_sql(0.4),
+        "doc_ngram_incremental": _jaccard_pairs_sql(0.4),
         "doc_minhash_dedup": _jaccard_pairs_sql(0.8),
         "doc_minhash_incremental": _jaccard_pairs_sql(0.8),
         "doc_simhash": _simhash_pairs_sql(3),

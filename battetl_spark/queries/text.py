@@ -158,3 +158,27 @@ def q_corpus_clean_incremental(spark, sf):
     for i, cond in enumerate(conds):
         cl.add_batch(docs.filter(cond), epoch_id=i)
     return cl.result()
+
+
+def q_doc_ngram_incremental(spark, sf):
+    """Incremental exact n-gram Jaccard against a persisted shingle index
+    (round-5): prefix filtering has GUARANTEED recall under the stored
+    global hash order, so the three-batch union equals the batch operator
+    and the exhaustive oracle exactly — the strongest-contract member of
+    the incremental dedup family."""
+    import tempfile
+
+    from battetl_spark.analytics.sig_index import NgramIndex
+
+    docs = _t(spark, sf, "documents")
+    idx = NgramIndex.create(
+        spark, tempfile.mkdtemp(prefix="ng_incr_") + "/idx"
+    )
+    out = None
+    for i in range(3):
+        pairs = idx.add_batch(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i),
+            threshold=0.4,
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out

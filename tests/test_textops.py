@@ -663,3 +663,45 @@ def test_incremental_corpus_cleaner_equals_batch(spark, docs, tmp_path):
     r = cl2.add_batch(docs, epoch_id=9)
     assert r == {"seen": 0, "kept": 0}
     assert cl2.result().count() == len(full)
+
+
+def test_ngram_incremental_equals_batch(spark, docs, tmp_path):
+    """NgramIndex batch-by-batch ingest equals the batch prefix-filter
+    operator EXACTLY (guaranteed recall under the stored hash order —
+    no banding parameters, threshold is per-call); re-ingest is a no-op
+    and a different threshold works against the same stored index."""
+    from battetl_spark.analytics import NgramIndex
+
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in TX.ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    }
+    assert full
+
+    idx = NgramIndex.create(spark, str(tmp_path / "idx"))
+    got = []
+    for i in range(3):
+        got.extend(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in idx.add_batch(
+                docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i),
+                threshold=0.4,
+            ).collect()
+        )
+    assert len(got) == len(set(got))
+    assert set(got) == full
+
+    assert idx.add_batch(docs.limit(50)).count() == 0  # re-ingest no-op
+    assert idx.table.scan().count() == docs.count()
+
+    # per-call threshold: a NEW batch can query at a different t against
+    # the same stored arrays (prefixes derive at read time)
+    tight = idx.add_batch(
+        docs.orderBy("doc_id").limit(3)
+        .withColumn("doc_id", F.col("doc_id") + 700_000),
+        threshold=0.99,
+    )
+    hits = {(r["id_a"], r["id_b"]) for r in tight.collect()}
+    assert {(r, r + 700_000) for r in
+            [x["doc_id"] for x in docs.orderBy("doc_id").limit(3).collect()]
+            } <= hits  # exact copies found at j=1
