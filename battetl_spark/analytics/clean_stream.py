@@ -171,7 +171,11 @@ class IncrementalCorpusCleaner:
 
         # exact dedup vs the persisted digest index: an indexed digest's
         # winner has a smaller id by monotonicity, so batch docs matching
-        # one are non-winners; within the batch the min id wins
+        # one are non-winners; within the batch the min id wins. The append
+        # is idempotent (anti-joined), and winners for the DOWNSTREAM steps
+        # are derived from the post-append digest state — so a replay after
+        # a crash at ANY later point re-derives the same winner set instead
+        # of losing it to the anti-join.
         batch_winners = (
             exact_dedup(base, "doc_id", "text")
             .select("digest", "keep_id")
@@ -179,14 +183,21 @@ class IncrementalCorpusCleaner:
         )
         self.digests.append(batch_winners)
         winners_docs = base.join(
-            batch_winners.select(F.col("keep_id").alias("doc_id")), "doc_id"
+            self.digests.scan().select(F.col("keep_id").alias("doc_id")),
+            "doc_id",
         )
 
         # near-dup pairs vs ALL indexed exact winners (the batch rule
         # computes pairs among winners, not survivors); monotone ids put
-        # every pair's id_b in this batch
-        pairs = self.sig.add_batch(
-            winners_docs.select("doc_id", "text"),
+        # every pair's id_b in this batch. Indexing and pair discovery are
+        # SEPARATE idempotent steps: ensure_indexed replays to a no-op, and
+        # pairs_involving treats batch membership (not storage recency) as
+        # 'new', so a crash between them replays to the same pair set —
+        # add_batch's fused only-new path would silently return no pairs
+        # for already-indexed winners on replay.
+        self.sig.ensure_indexed(winners_docs.select("doc_id", "text"))
+        pairs = self.sig.pairs_involving(
+            winners_docs.select("doc_id"),
             jaccard_threshold=self.near_dup_threshold,
         )
         dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()

@@ -116,6 +116,72 @@ class MinHashIndex:
     def indexed_docs(self) -> DataFrame:
         return self.table.scan().select("doc_id")
 
+    def ensure_indexed(self, docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> None:
+        """Idempotently index the given docs (anti-joined against already
+        -indexed ids; a replay after a crash appends only what's missing).
+        Pair discovery is separate (``pairs_involving``) so a caller can
+        make its WHOLE ingest step crash-replayable: indexing and pair
+        computation each re-run to the same state from any crash point."""
+        index = self.table.scan()
+        new_docs = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        ).join(index.select("doc_id"), "doc_id", "left_anti")
+        batch_sh = new_docs.select(
+            "doc_id", word_shingle_hashes("text", self.shingle_k).alias("sh")
+        )
+        batch_sigs = minhash_signatures_from_shingles(
+            batch_sh, "doc_id", self.num_hashes
+        )
+        self.table.append(
+            batch_sh.join(batch_sigs, "doc_id").select("doc_id", "minhash", "sh")
+        )
+
+    def pairs_involving(
+        self, ids: DataFrame, jaccard_threshold: float = 0.8
+    ) -> DataFrame:
+        """Verified near-dup pairs whose LATER member (under the
+        pair-owned-by-later-batch rule) is in ``ids`` — membership in
+        ``ids`` plays the 'new' role, NOT storage recency, so the result
+        is identical whether the ids were indexed by this attempt or a
+        crashed earlier one (replay-stable; requires ``ensure_indexed``
+        first). ``ids`` must have a doc_id column."""
+        ids = ids.select(F.col("doc_id").cast("long").alias("doc_id")).distinct()
+        index = self.table.scan()
+        sigs = index.select("doc_id", "minhash")
+        own = sigs.join(ids, "doc_id")
+        banded_own = _banded(
+            own, "doc_id", self.num_hashes, self.rows_per_band
+        ).alias("a")
+        banded_all = (
+            _banded(sigs, "doc_id", self.num_hashes, self.rows_per_band)
+            .join(ids.withColumn("__new", F.lit(True)), "doc_id", "left")
+            .withColumn("__new", F.coalesce(F.col("__new"), F.lit(False)))
+            .alias("b")
+        )
+        cand = (
+            banded_own.join(
+                banded_all,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (
+                    (~F.col("b.__new")
+                     & (F.col("a.doc_id") != F.col("b.doc_id")))
+                    | (F.col("b.__new")
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+                ),
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return _exact_jaccard_over(
+            cand, index.select("doc_id", "sh"), "doc_id", jaccard_threshold
+        )
+
     # ---------------------------------------------------------------- ingest
     def add_batch(
         self,

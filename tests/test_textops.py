@@ -705,3 +705,51 @@ def test_ngram_incremental_equals_batch(spark, docs, tmp_path):
     assert {(r, r + 700_000) for r in
             [x["doc_id"] for x in docs.orderBy("doc_id").limit(3).collect()]
             } <= hits  # exact copies found at j=1
+
+
+def test_cleaner_midbatch_crash_replay(spark, docs, tmp_path):
+    """A crash INSIDE add_batch must replay to the exact batch answer:
+    simulate the worst crash point — digest index appended AND signatures
+    indexed, but no pairs acted on, no merge, no watermark — then replay
+    the batch normally. The fused only-new path would silently lose the
+    batch's near-dup drops here; the idempotent split (ensure_indexed +
+    pairs_involving on batch MEMBERSHIP) must not."""
+    from battetl_spark.analytics import IncrementalCorpusCleaner
+    from battetl_spark.analytics.textops import exact_dedup
+
+    full = (
+        TX.clean_corpus(docs, min_quality=0.5, langs=("en", "de"))
+        .orderBy("doc_id").toPandas().reset_index(drop=True)
+    )
+    cl = IncrementalCorpusCleaner.create(
+        spark, str(tmp_path / "cleaner"), min_quality=0.5, langs=("en", "de")
+    )
+    mid = int(docs.approxQuantile("doc_id", [0.5], 0.0)[0])
+    b1 = docs.filter(F.col("doc_id") <= mid)
+    b2 = docs.filter(F.col("doc_id") > mid)
+    cl.add_batch(b1, epoch_id=0)
+
+    # --- simulate a crashed attempt of batch 2: run the state-mutating
+    # prefix of add_batch by hand, then "crash" before pairs/merge/watermark
+    from battetl_spark.analytics.textops import quality_features
+
+    new = b2.select("doc_id", "text", "lang")
+    q = quality_features(new.filter(F.col("lang").isin("en", "de")), "text")
+    filtered = q.filter(F.col("q_score") >= 0.5).select("doc_id")
+    base = new.join(filtered, "doc_id")
+    batch_winners = (
+        exact_dedup(base, "doc_id", "text")
+        .select("digest", "keep_id")
+        .join(cl.digests.scan().select("digest"), "digest", "left_anti")
+    )
+    cl.digests.append(batch_winners)
+    winners_docs = base.join(
+        cl.digests.scan().select(F.col("keep_id").alias("doc_id")), "doc_id"
+    )
+    cl.sig.ensure_indexed(winners_docs.select("doc_id", "text"))
+    # crash here: digests + signatures committed, nothing else
+
+    # --- replay the batch through the normal path
+    cl.add_batch(b2, epoch_id=1)
+    inc = cl.result().orderBy("doc_id").toPandas().reset_index(drop=True)
+    assert inc.equals(full)
