@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from battetl_spark.analytics.cache import track as _track
 from battetl_spark.analytics.sig_index import MinHashIndex
 from battetl_spark.analytics.textops import exact_dedup, quality_features
 from battetl_spark.cdc import merge_apply
@@ -182,9 +183,14 @@ class IncrementalCorpusCleaner:
             .join(self.digests.scan().select("digest"), "digest", "left_anti")
         )
         self.digests.append(batch_winners)
-        winners_docs = base.join(
-            self.digests.scan().select(F.col("keep_id").alias("doc_id")),
-            "doc_id",
+        # persisted: referenced by signature indexing, pair discovery, and
+        # the survivor anti-join — unpersisted, each would re-run the
+        # quality pipeline + digest join
+        winners_docs = _track(
+            base.join(
+                self.digests.scan().select(F.col("keep_id").alias("doc_id")),
+                "doc_id",
+            )
         )
 
         # near-dup pairs vs ALL indexed exact winners (the batch rule

@@ -128,8 +128,13 @@ class MinHashIndex:
             F.col(id_col).cast("long").alias("doc_id"),
             F.col(text_col).alias("text"),
         ).join(index.select("doc_id"), "doc_id", "left_anti")
-        batch_sh = new_docs.select(
-            "doc_id", word_shingle_hashes("text", self.shingle_k).alias("sh")
+        # ONE persisted shingle build — both the signature derivation and
+        # the appended sh column read it (unpersisted shingles would run
+        # the corpus pipeline twice)
+        batch_sh = _track(
+            new_docs.select(
+                "doc_id", word_shingle_hashes("text", self.shingle_k).alias("sh")
+            )
         )
         batch_sigs = minhash_signatures_from_shingles(
             batch_sh, "doc_id", self.num_hashes
