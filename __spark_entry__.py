@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "corpus_clean": q_corpus_clean,
         "corpus_clean_incremental": q_corpus_clean_incremental,
+        "corpus_clean_ooo": q_corpus_clean_ooo,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_ngram_incremental": q_doc_ngram_incremental,
         "doc_minhash_dedup": q_doc_minhash_dedup,

@@ -21,6 +21,43 @@ doc_id order (ids monotone with ingest time — the realistic case), so
   ``test_incremental_corpus_cleaner_equals_batch`` and the
   ``corpus_clean_incremental`` oracle query).
 
+OUT-OF-ORDER mode (``create(..., ordered=False)``): batches may arrive in
+ANY id order — a late-arriving SMALLER id can displace earlier decisions,
+and the cleaner emits CDC **delete** retractions through the same fenced
+merge. The correctness argument rests on two provable invariants of the
+batch rule (drop ``id_b`` of every verified pair among exact winners —
+non-cascading):
+
+1. **Drop status is monotone under insert-only corpora.** A doc becomes
+   dropped when a smaller winner pairs with it; it can only be UN-dropped
+   if that pair vanishes, which requires demoting its smaller partner w —
+   but w is only demoted by an identical-text twin w' < w, whose pair with
+   the doc still drops it. So retractions are always deletes, never
+   re-inserts.
+2. **Demoted winners' stale signatures are harmless.** The signature index
+   keeps every doc that was EVER a winner; a demoted entry x has an
+   identical-text twin w* < x among true winners, so any extra pair
+   (x, y) the index reports has a twin (w*, y) that the batch rule counts
+   anyway — the drop set computed over winners ∪ demoted equals the drop
+   set over winners.
+
+Per batch the delta vs ordered mode: exact winners are resolved by MIN id
+per digest (a smaller late arrival appends a new (digest, keep_id) row and
+the old winner is retracted — its deletion falls out of the near-dup pass,
+since identical text ⇒ jaccard 1 ⇒ a guaranteed-recall banding hit);
+retractions are ALL dropped ids (deleting an id never inserted lands as a
+harmless fenced tombstone — required because a re-ingested batch can
+contain a doc demoted by a same-batch smaller twin); events carry
+``lsn = epoch_id`` so later decisions override earlier ones (epoch ids
+must increase across batches — Structured Streaming's contract). The
+id-monotone watermark filter is off; idempotent re-ingest falls out of
+the digest/signature indexes plus value-idempotent merge events instead.
+Final state equals ``clean_corpus`` for ANY batch partitioning in ANY
+order (pinned by ``test_cleaner_out_of_order_equals_batch`` and the
+``corpus_clean_ooo`` oracle query). Source-side DELETES of corpus docs
+(true CDC retraction of inputs) would break invariant 1 (drops could
+need undoing) — documented unsupported, batches are insert-only.
+
 Rows at or below the watermark are filtered out (idempotent re-ingest —
 the reference's 0-row re-load, tests/test_Loader.py:341-343); the
 watermark advances atomically AFTER the fenced merge commit, so a crash
@@ -84,6 +121,10 @@ class IncrementalCorpusCleaner:
         self.min_quality = float(cfg["min_quality"])
         self.langs = tuple(cfg["langs"])
         self.near_dup_threshold = float(cfg["near_dup_threshold"])
+        # tables created before the mode existed are ordered (the old
+        # contract); the mode is a TABLE property, not a call argument —
+        # mixing lsn schemes within one output table would corrupt LWW
+        self.ordered = bool(cfg.get("ordered", True))
 
     # ------------------------------------------------------------- lifecycle
     @classmethod
@@ -95,6 +136,7 @@ class IncrementalCorpusCleaner:
         langs: tuple[str, ...] = ("en",),
         near_dup_threshold: float = 0.8,
         num_buckets: int = 16,
+        ordered: bool = True,
     ) -> "IncrementalCorpusCleaner":
         path = os.path.abspath(path)
         os.makedirs(path, exist_ok=True)
@@ -108,6 +150,7 @@ class IncrementalCorpusCleaner:
                         "min_quality": float(min_quality),
                         "langs": list(langs),
                         "near_dup_threshold": float(near_dup_threshold),
+                        "ordered": bool(ordered),
                     }
                 )
             },
@@ -146,15 +189,19 @@ class IncrementalCorpusCleaner:
         text_col: str = "text",
         lang_col: str = "lang",
     ) -> dict:
-        """Clean one monotone-id batch into the output table. Returns
-        per-batch counts. Re-ingest below the watermark is a no-op; a
-        replayed epoch is fenced by the merge commit."""
+        """Clean one batch into the output table; returns per-batch counts.
+        Ordered mode: batches must be monotone in doc_id; re-ingest below
+        the watermark is a no-op. Out-of-order mode: any id order; epoch
+        ids must increase across batches (they become the event lsn).
+        Either way a replayed epoch is fenced by the merge commit."""
         wm = self.watermark()
         new = docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
             F.col(text_col).alias("text"),
             F.col(lang_col).alias("lang"),
-        ).filter(F.col("doc_id") > wm)
+        )
+        if self.ordered:
+            new = new.filter(F.col("doc_id") > wm)
         hdr = new.agg(
             F.max("doc_id").alias("m"), F.count("*").alias("n")
         ).collect()[0]  # ONE aggregate job: watermark + batch size together
@@ -177,18 +224,41 @@ class IncrementalCorpusCleaner:
         # are derived from the post-append digest state — so a replay after
         # a crash at ANY later point re-derives the same winner set instead
         # of losing it to the anti-join.
-        batch_winners = (
-            exact_dedup(base, "doc_id", "text")
-            .select("digest", "keep_id")
-            .join(self.digests.scan().select("digest"), "digest", "left_anti")
-        )
+        if self.ordered:
+            batch_winners = (
+                exact_dedup(base, "doc_id", "text")
+                .select("digest", "keep_id")
+                .join(self.digests.scan().select("digest"), "digest",
+                      "left_anti")
+            )
+        else:
+            # min-id winner per digest across ALL arrivals: a late smaller
+            # id appends a new (digest, keep_id) row; readers resolve by
+            # joining on keep_id membership (the demoted row stays — its
+            # doc is retracted below via the guaranteed identical-text
+            # near-dup pair, and its stale signature is harmless per the
+            # module docstring's twin-domination invariant)
+            cur = self.digests.scan().groupBy("digest").agg(
+                F.min("keep_id").alias("__cur")
+            )
+            batch_winners = (
+                exact_dedup(base, "doc_id", "text")
+                .select("digest", "keep_id")
+                .join(cur, "digest", "left")
+                .filter(
+                    F.col("__cur").isNull()
+                    | (F.col("keep_id") < F.col("__cur"))
+                )
+                .select("digest", "keep_id")
+            )
         self.digests.append(batch_winners)
         # persisted: referenced by signature indexing, pair discovery, and
         # the survivor anti-join — unpersisted, each would re-run the
         # quality pipeline + digest join
         winners_docs = _track(
             base.join(
-                self.digests.scan().select(F.col("keep_id").alias("doc_id")),
+                self.digests.scan()
+                .select(F.col("keep_id").alias("doc_id")).distinct(),
                 "doc_id",
             )
         )
@@ -206,15 +276,24 @@ class IncrementalCorpusCleaner:
             winners_docs.select("doc_id"),
             jaccard_threshold=self.near_dup_threshold,
         )
-        dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        # persisted: feeds both the survivor anti-join and (ooo mode) the
+        # retraction events — unpersisted, each re-runs the band join
+        dropped = _track(
+            pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        )
         survivors = winners_docs.select("doc_id").join(
             dropped, "doc_id", "left_anti"
         )
 
+        # ordered mode: per-doc lsn (ids are ingest-ordered). Out-of-order
+        # mode: lsn = epoch_id, so a later batch's retraction overrides an
+        # earlier batch's insert of the same key regardless of id order.
+        lsn = (F.col("doc_id") if self.ordered
+               else F.lit(int(epoch_id)).cast("long"))
         events = (
             survivors.join(filtered, "doc_id")
             .select(
-                F.col("doc_id").alias("lsn"),
+                lsn.alias("lsn"),
                 F.lit("i").alias("op"),
                 "doc_id",
                 "lang",
@@ -224,10 +303,29 @@ class IncrementalCorpusCleaner:
                 ),
             )
         )
+        if not self.ordered:
+            # retract EVERY dropped id — displaced old survivors, demoted
+            # exact winners (their identical-text twin pair guarantees a
+            # banding hit), and batch members a re-ingest might have
+            # inserted in an earlier epoch. Deleting a never-inserted key
+            # is a harmless tombstone; inserts and deletes stay disjoint
+            # (survivors are anti-joined on the same dropped set).
+            events = events.unionByName(
+                dropped.select(
+                    lsn.alias("lsn"),
+                    F.lit("d").alias("op"),
+                    "doc_id",
+                    F.lit(None).cast("string").alias("lang"),
+                    F.lit(None).cast("double").alias("q_score"),
+                    F.pmod(F.col("doc_id"), F.lit(16)).cast("int").alias(
+                        "source_partition"
+                    ),
+                )
+            )
         result = merge_apply(
             self.out, events, epoch_id=epoch_id, key_cols=["doc_id"]
         )
-        self._set_watermark(max_seen)
+        self._set_watermark(max(wm, max_seen))
         return {
             "seen": n_seen,
             "kept": int(result.rows_inserted + result.rows_updated),

@@ -52,6 +52,7 @@ from battetl_spark.queries.text import (  # noqa: F401
     q_doc_simhash,
     q_corpus_clean,
     q_corpus_clean_incremental,
+    q_corpus_clean_ooo,
 )
 from battetl_spark.queries.ann import (  # noqa: F401
     q_ann_cosine_topk,

@@ -124,7 +124,7 @@ def oracle_sql() -> dict[str, str]:
             "fr": ["le", "la", "les", "et", "est"],
         }.items()
     )
-    return {
+    out = {
         "lww_latest_per_key": """
             SELECT user_id,
                    max(event_id) AS last_event_id,
@@ -592,3 +592,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash": _simhash_pairs_sql(3),
         "ann_lsh_topk": _ann_lsh_sql(dim=64, num_planes=4, k=10),
     }
+    # out-of-order incremental cleaning converges to the identical batch
+    # clean_corpus state, so its oracle is corpus_clean_incremental's
+    out["corpus_clean_ooo"] = out["corpus_clean_incremental"]
+    return out

@@ -160,6 +160,31 @@ def q_corpus_clean_incremental(spark, sf):
     return cl.result()
 
 
+def q_corpus_clean_ooo(spark, sf):
+    """Out-of-order incremental cleaning: the batches are doc_id mod-3
+    residue classes, so every batch after the first is ENTIRELY below the
+    previous batch's max id — late smaller arrivals displace earlier
+    decisions and the cleaner emits CDC delete retractions through the
+    fenced merge (demoted exact winners + newly-dropped survivors). The
+    final state must still equal the batch clean_corpus answer, so the
+    oracle is identical to corpus_clean_incremental's."""
+    import tempfile
+
+    from battetl_spark.analytics.clean_stream import IncrementalCorpusCleaner
+
+    docs = _t(spark, sf, "documents")
+    cl = IncrementalCorpusCleaner.create(
+        spark, tempfile.mkdtemp(prefix="cln_ooo_") + "/c",
+        min_quality=0.5, langs=("en", "de"), ordered=False,
+    )
+    for epoch, residue in enumerate((2, 0, 1)):
+        cl.add_batch(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == residue),
+            epoch_id=epoch,
+        )
+    return cl.result()
+
+
 def q_doc_ngram_incremental(spark, sf):
     """Incremental exact n-gram Jaccard against a persisted shingle index
     (round-5): prefix filtering has GUARANTEED recall under the stored

@@ -753,3 +753,53 @@ def test_cleaner_midbatch_crash_replay(spark, docs, tmp_path):
     cl.add_batch(b2, epoch_id=1)
     inc = cl.result().orderBy("doc_id").toPandas().reset_index(drop=True)
     assert inc.equals(full)
+
+
+def test_cleaner_out_of_order_equals_batch(spark, docs, tmp_path):
+    """ordered=False: batches are doc_id mod-3 residue classes ingested as
+    (2, 0, 1), so every batch after the first is dominated by smaller late
+    arrivals — earlier insert decisions must be displaced via CDC delete
+    retractions through the fenced merge, and the final state must equal
+    the batch clean_corpus answer exactly. Re-ingesting a batch whose
+    members have since been demoted converges to the same state, and
+    open() round-trips the mode."""
+    from battetl_spark.analytics import IncrementalCorpusCleaner
+
+    full = (
+        TX.clean_corpus(docs, min_quality=0.5, langs=("en", "de"))
+        .orderBy("doc_id").toPandas().reset_index(drop=True)
+    )
+    assert len(full) > 0
+
+    path = str(tmp_path / "cleaner_ooo")
+    cl = IncrementalCorpusCleaner.create(
+        spark, path, min_quality=0.5, langs=("en", "de"), ordered=False
+    )
+    batches = [
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == r) for r in (2, 0, 1)
+    ]
+    cl.add_batch(batches[0], epoch_id=0)
+    s0 = {r["doc_id"] for r in cl.result().collect()}
+    cl.add_batch(batches[1], epoch_id=1)
+    cl.add_batch(batches[2], epoch_id=2)
+
+    inc = cl.result().orderBy("doc_id").toPandas().reset_index(drop=True)
+    assert inc.equals(full)
+    # at least one epoch-0 accept must have been RETRACTED by a later
+    # smaller arrival — otherwise the out-of-order path wasn't exercised
+    assert s0 - set(inc["doc_id"])
+
+    # re-ingest of the first batch (now containing demoted members) at a
+    # later epoch is a state no-op: demoted docs re-drop via their
+    # identical-text twin pair, survivors re-insert value-idempotently
+    cl.add_batch(batches[0], epoch_id=3)
+    again = cl.result().orderBy("doc_id").toPandas().reset_index(drop=True)
+    assert again.equals(full)
+
+    cl2 = IncrementalCorpusCleaner.open(spark, path)
+    assert cl2.ordered is False
+    cl2.add_batch(batches[1], epoch_id=4)
+    assert (
+        cl2.result().orderBy("doc_id").toPandas()
+        .reset_index(drop=True).equals(full)
+    )
