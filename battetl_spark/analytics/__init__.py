@@ -4,5 +4,9 @@ from battetl_spark.analytics.cache import cache_scope  # noqa: F401
 from battetl_spark.analytics.sig_index import MinHashIndex  # noqa: F401
 from battetl_spark.analytics.sig_index import SimHashIndex  # noqa: F401
 from battetl_spark.analytics.sig_index import EmbeddingIndex  # noqa: F401
-from battetl_spark.analytics.clean_stream import IncrementalCorpusCleaner  # noqa: F401,E501
+from battetl_spark.analytics.clean_stream import (  # noqa: F401
+    CleanerStream,
+    IncrementalCorpusCleaner,
+    read_document_stream,
+)
 from battetl_spark.analytics.sig_index import NgramIndex  # noqa: F401

@@ -336,3 +336,89 @@ class IncrementalCorpusCleaner:
         """Current cleaned-corpus state — (doc_id, lang, q_score), the
         ``clean_corpus`` output columns."""
         return self.out.scan().select("doc_id", "lang", "q_score")
+
+
+DOC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Tail a directory of document parquet files as a stream (one file per
+    microbatch by default — the arrival unit of a drop-folder ingest)."""
+    return (
+        spark.readStream.schema(schema or DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+class CleanerStream:
+    """Structured Streaming driver for ``IncrementalCorpusCleaner`` — the
+    same foreachBatch shape as ``streaming.pipeline.CdcStream``, closing the
+    loop: readStream over arriving documents → per-microbatch incremental
+    clean → fenced CDC merge into the output LakeTable.
+
+    Exactly-once: the checkpoint WAL pins each microbatch's source offsets
+    BEFORE processing, so a restart replays the identical batch under the
+    identical ``epoch_id``; ``add_batch`` is replay-idempotent end to end
+    (digest append anti-joined/min-filtered, ``ensure_indexed`` no-op, merge
+    fenced by epoch) — a crash at ANY point inside it converges on replay.
+
+    Use an ``ordered=False`` cleaner unless the source provably delivers
+    id-monotone microbatches: Spark's file source orders batches by file
+    DISCOVERY, not by your id space. The out-of-order mode's lsn contract
+    (``lsn = epoch_id``, strictly increasing across batches) is exactly
+    Structured Streaming's epoch contract — a replayed batch keeps its id,
+    new batches always get larger ones, including across restarts."""
+
+    def __init__(
+        self,
+        cleaner: IncrementalCorpusCleaner,
+        checkpoint_dir: str,
+        on_batch=None,
+        fail_injector=None,
+    ):
+        self.cleaner = cleaner
+        self.checkpoint_dir = checkpoint_dir
+        self.on_batch = on_batch
+        self.fail_injector = fail_injector  # (epoch_id, phase) -> None|raise
+
+    def _apply(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if self.fail_injector is not None:
+            self.fail_injector(epoch_id, "before_add")
+        r = self.cleaner.add_batch(batch_df, epoch_id=epoch_id)
+        if self.fail_injector is not None:
+            self.fail_injector(epoch_id, "after_add")
+        if self.on_batch is not None:
+            self.on_batch(epoch_id, r)
+
+    def start(
+        self,
+        docs: DataFrame,
+        available_now: bool = True,
+        processing_time: str | None = None,
+    ):
+        writer = docs.writeStream.foreachBatch(self._apply).option(
+            "checkpointLocation", self.checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    def run_to_completion(self, docs: DataFrame, timeout_s: int = 600) -> None:
+        q = self.start(docs, available_now=True)
+        q.awaitTermination(timeout_s)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))

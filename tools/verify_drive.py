@@ -236,23 +236,29 @@ assert _cli_main(["-l", _cfgp]) == 0
 assert _LT.load(spark, _cfg["table_path"]).scan().count() == 1
 print("CLI load-only surface: OK")
 
-# out-of-order incremental cleaner surface (round-5 post-close): mod-3
-# residue batches ingested (2, 0, 1) — late smaller arrivals displace
-# earlier decisions via CDC delete retractions — must converge to the
-# batch clean_corpus answer exactly
-from battetl_spark.analytics import IncrementalCorpusCleaner
+# out-of-order incremental cleaner surface, driven end to end by the
+# Structured Streaming wrapper (round-5 post-close): a drop-folder of mod-3
+# residue files — discovery order is NOT id order, so late smaller arrivals
+# displace earlier decisions via CDC delete retractions — tailed with
+# readStream + foreachBatch must converge to the batch clean_corpus answer
+from battetl_spark.analytics import (
+    CleanerStream, IncrementalCorpusCleaner, read_document_stream,
+)
 from battetl_spark.analytics import textops as _TX
 
-_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+    "doc_id", "text", "lang")
 _exp = (_TX.clean_corpus(_docs, min_quality=0.5, langs=("en", "de"))
         .orderBy("doc_id").toPandas().reset_index(drop=True))
 _d4 = _tf.mkdtemp()
+for _r in (2, 0, 1):
+    (_docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == _r)
+     .coalesce(1).write.mode("append").parquet(_os.path.join(_d4, "drop")))
 _cl = IncrementalCorpusCleaner.create(
     spark, _os.path.join(_d4, "c"), min_quality=0.5, langs=("en", "de"),
     ordered=False)
-for _e, _r in enumerate((2, 0, 1)):
-    _cl.add_batch(_docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == _r),
-                  epoch_id=_e)
+CleanerStream(_cl, _os.path.join(_d4, "ckpt")).run_to_completion(
+    read_document_stream(spark, _os.path.join(_d4, "drop")))
 _got = _cl.result().orderBy("doc_id").toPandas().reset_index(drop=True)
 pd.testing.assert_frame_equal(_got, _exp)
-print("ooo-cleaner surface: OK")
+print("ooo-cleaner stream surface: OK")
