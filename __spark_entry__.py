@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "corpus_clean_incremental": q_corpus_clean_incremental,
         "corpus_clean_ooo": q_corpus_clean_ooo,
+        "corpus_clean_stream": q_corpus_clean_stream,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_ngram_incremental": q_doc_ngram_incremental,
         "doc_minhash_dedup": q_doc_minhash_dedup,

@@ -53,6 +53,7 @@ from battetl_spark.queries.text import (  # noqa: F401
     q_corpus_clean,
     q_corpus_clean_incremental,
     q_corpus_clean_ooo,
+    q_corpus_clean_stream,
 )
 from battetl_spark.queries.ann import (  # noqa: F401
     q_ann_cosine_topk,

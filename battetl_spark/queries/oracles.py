@@ -592,7 +592,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash": _simhash_pairs_sql(3),
         "ann_lsh_topk": _ann_lsh_sql(dim=64, num_planes=4, k=10),
     }
-    # out-of-order incremental cleaning converges to the identical batch
-    # clean_corpus state, so its oracle is corpus_clean_incremental's
+    # out-of-order and streaming incremental cleaning both converge to the
+    # identical batch clean_corpus state, so their oracle is
+    # corpus_clean_incremental's
     out["corpus_clean_ooo"] = out["corpus_clean_incremental"]
+    out["corpus_clean_stream"] = out["corpus_clean_incremental"]
     return out

@@ -185,6 +185,39 @@ def q_corpus_clean_ooo(spark, sf):
     return cl.result()
 
 
+def q_corpus_clean_stream(spark, sf):
+    """The Structured Streaming cleaner surface under the driver's
+    correctness gate: mod-3 residue files written to a drop folder, tailed
+    by readStream one file per microbatch (discovery order is not id
+    order), each batch cleaned incrementally through the fenced merge by
+    the out-of-order cleaner. Must converge to the batch clean_corpus
+    answer, so the oracle is identical to corpus_clean_incremental's."""
+    import os
+    import tempfile
+
+    from battetl_spark.analytics.clean_stream import (
+        CleanerStream,
+        IncrementalCorpusCleaner,
+        read_document_stream,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    d = tempfile.mkdtemp(prefix="cln_strm_")
+    for residue in (2, 0, 1):
+        (
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == residue)
+            .coalesce(1).write.mode("append").parquet(os.path.join(d, "drop"))
+        )
+    cl = IncrementalCorpusCleaner.create(
+        spark, os.path.join(d, "c"),
+        min_quality=0.5, langs=("en", "de"), ordered=False,
+    )
+    CleanerStream(cl, os.path.join(d, "ckpt")).run_to_completion(
+        read_document_stream(spark, os.path.join(d, "drop"))
+    )
+    return cl.result()
+
+
 def q_doc_ngram_incremental(spark, sf):
     """Incremental exact n-gram Jaccard against a persisted shingle index
     (round-5): prefix filtering has GUARANTEED recall under the stored

@@ -100,3 +100,36 @@ def test_cleaner_stream_crash_resume_from_checkpoint(
     stream2 = CleanerStream(cl2, ckpt)
     stream2.run_to_completion(read_document_stream(spark, src))
     assert cleaned(cl2).equals(expected)
+
+
+def test_cleaner_stream_maintenance_bounds_state(
+    spark, tmp_path, docs, expected
+):
+    """A long-running cleaner stream must not accrete unbounded state: each
+    of the cleaner's three tables gains one file per touched bucket per
+    batch and the output fence map one entry per epoch. Six microbatches
+    with aggressive auto-compaction must keep every bucket at the fold
+    threshold, keep the fence map folded into its floor — and change
+    nothing about the answer."""
+    src = str(tmp_path / "drop")
+    for r in range(6):
+        (
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(6)) == r)
+            .coalesce(1).write.mode("append").parquet(src)
+        )
+    cl = IncrementalCorpusCleaner.create(
+        spark, str(tmp_path / "cleaner"),
+        min_quality=0.5, langs=("en", "de"), ordered=False, num_buckets=4,
+    )
+    stream = CleanerStream(
+        cl, str(tmp_path / "ckpt"),
+        auto_compact_files=2, auto_compact_fences_every=2,
+    )
+    stream.run_to_completion(read_document_stream(spark, src))
+
+    for t in (cl.out, cl.digests, cl.sig.table):
+        files = t.snapshot()["files"]
+        assert max((len(v) for v in files.values()), default=0) <= 2
+    assert cl.out.fence_floor() >= 3  # folded at epochs 0/2/4
+    assert len(cl.out.fences()) <= 2
+    assert cleaned(cl).equals(expected)
