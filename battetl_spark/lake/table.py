@@ -580,12 +580,21 @@ class LakeTable:
         target_partitions: int | None = None,
         files_per_bucket: int = 4,
         shuffle: bool = True,
+        cluster_by: str | None = None,
+        max_records_per_file: int | None = None,
     ) -> dict[str, list[str]]:
         """Write rows (must carry BUCKET_COL) into a fresh commit dir,
         one hive-style subdir per bucket; returns {bucket: [rel paths]}.
 
         sortWithinPartitions enforces the stable-ordering invariant
         (per-turn text equality under stable turn ordering) at rest.
+
+        ``cluster_by`` (clustered-compaction path): instead of the key-salt
+        split, each bucket flows through one task sorted by ``cluster_by``
+        and the writer rolls a new file every ``max_records_per_file``
+        records — so a bucket's files hold CONTIGUOUS, DISJOINT cluster_by
+        ranges and its zone maps actually skip (the salt split gives every
+        file the bucket's full value range; see ``compact``).
         """
         snap = self.snapshot()
         sort_cols = snap["sort_cols"] or []
@@ -598,7 +607,13 @@ class LakeTable:
         # child, executing the whole upstream merge pipeline twice; measured
         # 17% slower). Hash by bucket alone idles ~40% of cores (collisions);
         # hash by (bucket, full key) writes n_out × B tiny files.
-        if shuffle:
+        if cluster_by:
+            n_out = target_partitions or max(
+                1, df.sparkSession.sparkContext.defaultParallelism * 2
+            )
+            w = df.repartition(n_out, F.col(BUCKET_COL))
+            sort_cols = [cluster_by] + [c for c in sort_cols if c != cluster_by]
+        elif shuffle:
             n_out = target_partitions or max(
                 1, df.sparkSession.sparkContext.defaultParallelism * 2
             )
@@ -617,7 +632,10 @@ class LakeTable:
             w = df
         if sort_cols:
             w = w.sortWithinPartitions(BUCKET_COL, *sort_cols)
-        w.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(out)
+        writer = w.write.partitionBy(BUCKET_COL).mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+        writer.parquet(out)
         stat_cols = self._stats_cols(snap, df.columns)
         paths = glob.glob(os.path.join(out, f"{BUCKET_COL}=*", "*.parquet"))
         # zone-map harvest runs as ONE distributed job over the written file
@@ -652,6 +670,8 @@ class LakeTable:
         target_partitions: int | None = None,
         files_per_bucket: int = 4,
         base_snapshot: dict | None = None,
+        cluster_by: str | None = None,
+        max_records_per_file: int | None = None,
     ) -> dict | None:
         """Copy-on-write commit: the given buckets' contents become exactly
         ``df`` (which must carry BUCKET_COL); all other buckets carry over.
@@ -671,7 +691,13 @@ class LakeTable:
         Returns None (no commit) when ``fence``'s epoch is already applied —
         exactly-once replay no-op; callers must treat it as not-applied.
         """
-        new_files = self._write_data(df, target_partitions, files_per_bucket)
+        new_files = self._write_data(
+            df,
+            target_partitions,
+            files_per_bucket,
+            cluster_by=cluster_by,
+            max_records_per_file=max_records_per_file,
+        )
 
         replaced = {int(b) for b in buckets}
         sid = (base_snapshot or self.snapshot())["current_schema_id"]
@@ -976,12 +1002,35 @@ class LakeTable:
         )
 
     # ------------------------------------------------------------ maintenance
-    def compact(self, min_files_per_bucket: int = 4) -> dict | None:
+    def compact(
+        self,
+        min_files_per_bucket: int = 4,
+        cluster_by: str | None = None,
+        files_per_bucket: int = 1,
+    ) -> dict | None:
         """Rewrite buckets whose file count exceeded the threshold into one
         file each (copy-on-write; snapshot-atomic). Long-running CDC streams
         accrete one file per bucket per commit — compaction bounds read
-        amplification. Returns the new snapshot, or None if nothing to do."""
+        amplification. Returns the new snapshot, or None if nothing to do.
+
+        ``cluster_by``: clustered compaction (Delta OPTIMIZE ZORDER /
+        Iceberg sort-compaction analog). The hot write path salt-splits a
+        bucket's files by KEY hash, so every file spans the bucket's full
+        ``ts``/sort range and zone maps rarely skip; clustered compaction
+        rewrites each crowded bucket as ``files_per_bucket`` files holding
+        contiguous DISJOINT ``cluster_by`` ranges (one sorted pass per
+        bucket, files split by record-count rollover — no sampling pass).
+        A range-filtered scan of a 100 TB table then opens only the files
+        whose range overlaps instead of every file of every qualifying
+        bucket. ``cluster_by`` is persisted into the ``stats_cols`` table
+        property first, so this and every FUTURE write harvests its
+        min/max."""
         snap = self.snapshot()
+        if cluster_by:
+            if cluster_by not in {f["name"] for f in snap["schema"]["fields"]}:
+                raise ValueError(f"cluster_by column {cluster_by!r} not in schema")
+            self._ensure_stats_col(cluster_by)
+            snap = self.snapshot()
         crowded = [
             int(b) for b, entries in snap["files"].items()
             if len(entries) >= min_files_per_bucket
@@ -994,10 +1043,42 @@ class LakeTable:
         # unsalted, one partition per bucket → one output file per bucket;
         # base_snapshot makes a racing merge abort THIS rewrite (CommitConflict)
         # instead of resurrecting pre-merge rows
-        return self.replace_buckets(
-            rows, crowded, target_partitions=len(crowded), files_per_bucket=1,
-            base_snapshot=snap,
-        )
+        if not cluster_by:
+            return self.replace_buckets(
+                rows, crowded, target_partitions=len(crowded), files_per_bucket=1,
+                base_snapshot=snap,
+            )
+        rows = rows.persist()
+        try:
+            mx = rows.groupBy(BUCKET_COL).count().agg(F.max("count")).first()[0]
+            if mx is None:
+                return None
+            return self.replace_buckets(
+                rows,
+                crowded,
+                target_partitions=len(crowded),
+                base_snapshot=snap,
+                cluster_by=cluster_by,
+                max_records_per_file=-(-int(mx) // max(1, files_per_bucket)),
+            )
+        finally:
+            rows.unpersist()
+
+    def _ensure_stats_col(self, col: str) -> None:
+        """Persist ``col`` into the ``stats_cols`` table property (no-op
+        commit when already harvested) so zone maps exist for it on this
+        and every future write."""
+        def mutate(s):
+            props = s.setdefault("properties", {})
+            listed = list(props.get("stats_cols", []) or [])
+            implicit = {LAST_LSN_COL, DELETED_COL, "ts",
+                        (s.get("sort_cols") or [None])[0]}
+            if col in listed or col in implicit:
+                return None  # already harvested — nothing to commit
+            props["stats_cols"] = listed + [col]
+            return s
+
+        self.commit(mutate)
 
     def rebucket(self, new_num_buckets: int) -> dict:
         """Grow the bucket count in one snapshot-atomic rewrite — the first

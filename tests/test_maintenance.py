@@ -470,3 +470,71 @@ def test_scan_zone_map_bucket_skip_with_mor_deltas(spark, tmp_path):
     # a range matching nothing skips every delta bucket outright
     none = t.scan(filters=[("_last_lsn", ">", 10_000_000)])
     assert len(none.inputFiles()) == 0 and none.count() == 0
+
+
+def test_clustered_compaction_enables_range_file_skipping(spark, tmp_path):
+    """The hot write path salt-splits a bucket's files by KEY hash, so every
+    file spans the bucket's whole ts range and a narrow ts scan opens ALL
+    files. compact(cluster_by='ts') must rewrite each bucket as files
+    holding contiguous DISJOINT ts ranges — after it, the same narrow scan
+    opens strictly fewer files with byte-identical results."""
+    import datetime
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_TABLE_SCHEMA,
+                         num_buckets=2, key_cols=KEY_COLS, sort_cols=KEY_COLS)
+    base = FX.make_transcripts(seed=31, n_convs=60, max_turns=6)
+    pdf = base.reset_index(drop=True).copy()
+    pdf["_last_lsn"] = np.arange(1, len(pdf) + 1, dtype=np.int64)
+    pdf["_deleted"] = False
+    # ts uncorrelated with the key hash: every salt file spans the full range
+    pdf["ts"] = pd.Timestamp("2026-01-01") + pd.to_timedelta(
+        (np.arange(len(pdf)) * 7919) % len(pdf), "h"
+    )
+    cols = [f.name for f in TRANSCRIPT_TABLE_SCHEMA.fields]
+    t.append(spark.createDataFrame(pdf[cols], TRANSCRIPT_TABLE_SCHEMA))
+
+    cutoff = datetime.datetime(2026, 1, 3)  # first ~48 of len(pdf) hours
+    filt = [("ts", "<", cutoff)]
+    before_files = len(t.scan(filters=filt).inputFiles())
+    total_before = len(t.scan().inputFiles())
+    assert before_files == total_before  # salt split: nothing skippable
+    expect = t.scan(filters=filt).toPandas()
+
+    assert t.compact(min_files_per_bucket=1, cluster_by="ts",
+                     files_per_bucket=4) is not None
+    snap = t.snapshot()
+    for entries in snap["files"].values():
+        assert len(entries) >= 3  # bucket actually split into several files
+        ranges = sorted(
+            (e["stats"]["ts"]["min"], e["stats"]["ts"]["max"]) for e in entries
+        )
+        for (_, amax), (bmin, _) in zip(ranges, ranges[1:]):
+            assert amax <= bmin  # contiguous disjoint cluster ranges
+
+    after = t.scan(filters=filt)
+    assert 0 < len(after.inputFiles()) < len(t.scan().inputFiles())
+    assert_pdf_equal(after.toPandas(), expect, ["conv_id", "turn_idx"])
+
+
+def test_clustered_compaction_persists_stats_property(spark, tmp_path):
+    """A non-implicit cluster column must land in the stats_cols property so
+    future writes keep harvesting it; unknown columns are refused."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_TABLE_SCHEMA,
+                         num_buckets=2, key_cols=KEY_COLS, sort_cols=KEY_COLS)
+    base = FX.make_transcripts(seed=32, n_convs=10, max_turns=4)
+    t.append(FX.table_rows_df(spark, base))
+
+    with pytest.raises(ValueError, match="cluster_by"):
+        t.compact(min_files_per_bucket=1, cluster_by="nope")
+
+    assert t.compact(min_files_per_bucket=1, cluster_by="turn_idx",
+                     files_per_bucket=2) is not None
+    snap = t.snapshot()
+    assert "turn_idx" in snap["properties"]["stats_cols"]
+    assert all(
+        "turn_idx" in e.get("stats", {})
+        for entries in snap["files"].values() for e in entries
+    )
+    got = t.scan().toPandas()
+    want = FX.table_rows_df(spark, base).toPandas()
+    assert_pdf_equal(got[ALL], want[ALL], ["conv_id", "turn_idx"])

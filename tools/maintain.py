@@ -4,6 +4,7 @@ The four operations a long-lived CDC table needs, each snapshot-atomic and
 safe beside a running stream (conflict-detected where they rewrite data):
 
   compact           fold crowded buckets (and MOR deltas) into one file each
+                    (--cluster-by col: range-clustered files so zone maps skip)
   vacuum-tombstones drop delete fences older than the reorder horizon
   vacuum-files      GC data files + manifests unreachable from retained
                     snapshots; prune old snapshot roots
@@ -41,6 +42,9 @@ def main():
     sub = ap.add_subparsers(dest="op", required=True)
     p = sub.add_parser("compact")
     p.add_argument("--min-files", type=int, default=4)
+    p.add_argument("--cluster-by", help="rewrite buckets range-clustered on "
+                   "this column (files hold disjoint ranges; zone maps skip)")
+    p.add_argument("--files-per-bucket", type=int, default=1)
     p = sub.add_parser("vacuum-tombstones")
     p.add_argument("--below-lsn", type=int, required=True)
     p = sub.add_parser("vacuum-files")
@@ -79,7 +83,11 @@ def main():
         return "no-op" if snap is None else "v" + str(snap["version"])
 
     if args.op == "compact":
-        print("compact: " + ver(table.compact(min_files_per_bucket=args.min_files)))
+        print("compact: " + ver(table.compact(
+            min_files_per_bucket=args.min_files,
+            cluster_by=args.cluster_by,
+            files_per_bucket=args.files_per_bucket,
+        )))
     elif args.op == "vacuum-tombstones":
         print("vacuum-tombstones: "
               + ver(table.vacuum_tombstones(below_lsn=args.below_lsn)))
