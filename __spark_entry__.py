@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_incremental": q_doc_ngram_incremental,
         "doc_minhash_dedup": q_doc_minhash_dedup,
         "doc_minhash_incremental": q_doc_minhash_incremental,
+        "doc_dup_clusters": q_doc_dup_clusters,
         "doc_simhash": q_doc_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,

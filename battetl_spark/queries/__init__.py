@@ -49,6 +49,7 @@ from battetl_spark.queries.text import (  # noqa: F401
     q_doc_ngram_incremental,
     q_doc_minhash_dedup,
     q_doc_minhash_incremental,
+    q_doc_dup_clusters,
     q_doc_simhash,
     q_corpus_clean,
     q_corpus_clean_incremental,

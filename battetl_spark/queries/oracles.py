@@ -36,6 +36,52 @@ def _jaccard_pairs_sql(threshold: float) -> str:
     """
 
 
+def _dup_clusters_sql(threshold: float) -> str:
+    """Ground-truth transitive closure of the exhaustive near-dup pair graph:
+    a recursive CTE propagates every label along edges (pruned to labels
+    smaller than the target node — the component minimum is smaller than
+    every other member, so its propagation is never pruned), then each node
+    takes the MIN reachable label. Documents with no near-dups cluster as
+    themselves."""
+    return rf"""
+        WITH RECURSIVE norm AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                     range(1, greatest(len(w) - 2, 1) + 1),
+                     i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+          FROM norm
+        ),
+        pairs AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.s, b.s)) * 1.0
+                / len(list_distinct(a.s || b.s)) >= {threshold}
+        ),
+        edges AS (
+          SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+        ),
+        reach AS (
+          SELECT u AS node, u AS label FROM edges
+          UNION
+          SELECT e.v AS node, r.label
+          FROM reach r JOIN edges e ON e.u = r.node
+          WHERE r.label < e.v
+        )
+        SELECT d.doc_id AS doc_id,
+               coalesce(m.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d
+        LEFT JOIN (
+          SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+        ) m ON m.node = d.doc_id
+    """
+
+
 def _simhash_pairs_sql(max_hamming: int) -> str:
     """Exhaustive all-pairs SimHash hamming oracle. Reproduces the engine's
     signature exactly: token hash bit b = bit (b%4) of md5 hex digit b//4;
@@ -589,6 +635,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_incremental": _jaccard_pairs_sql(0.4),
         "doc_minhash_dedup": _jaccard_pairs_sql(0.8),
         "doc_minhash_incremental": _jaccard_pairs_sql(0.8),
+        "doc_dup_clusters": _dup_clusters_sql(0.8),
         "doc_simhash": _simhash_pairs_sql(3),
         "ann_lsh_topk": _ann_lsh_sql(dim=64, num_planes=4, k=10),
     }

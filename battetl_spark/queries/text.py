@@ -112,6 +112,27 @@ def q_doc_minhash_incremental(spark, sf):
     return out
 
 
+def q_doc_dup_clusters(spark, sf):
+    """Near-dup CLUSTER formation: exact-verified minhash pairs (the
+    oracle-green doc_minhash_dedup graph) closed transitively by distributed
+    large-star/small-star connected components; every document labeled with
+    its cluster's minimum doc_id (itself when it has no near-dups). The
+    DuckDB oracle recomputes the exhaustive pair graph and closes it with a
+    recursive CTE — ground-truth transitive closure."""
+    from battetl_spark.analytics.graph import dup_clusters
+    from battetl_spark.analytics.textops import minhash_lsh_pairs
+
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(
+        docs,
+        num_hashes=32,
+        jaccard_threshold=0.8,
+        rows_per_band="auto",
+        verify="exact",
+    )
+    return dup_clusters(docs, pairs)
+
+
 def q_doc_simhash(spark, sf):
     """SimHash near-dup pairs — signatures are md5-hex bit votes (pure
     Catalyst), blocking is the 4×16-bit pigeonhole (guaranteed recall at

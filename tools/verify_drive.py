@@ -262,3 +262,47 @@ CleanerStream(_cl, _os.path.join(_d4, "ckpt")).run_to_completion(
 _got = _cl.result().orderBy("doc_id").toPandas().reset_index(drop=True)
 pd.testing.assert_frame_equal(_got, _exp)
 print("ooo-cleaner stream surface: OK")
+
+# clustered compaction + dup-cluster surfaces (round-5 post-close):
+# compact(cluster_by=...) must turn an unskippable salt-split layout into
+# disjoint-range files (narrow ts scan opens fewer files, same rows), and
+# dup_clusters must close the near-dup pair graph transitively.
+import numpy as _np
+
+from battetl_spark.analytics.graph import dup_clusters
+
+_d5 = _tf.mkdtemp()
+_t5 = _LT.create(spark, _os.path.join(_d5, "t"), TRANSCRIPT_TABLE_SCHEMA,
+                 num_buckets=2, key_cols=KEY_COLS, sort_cols=KEY_COLS)
+_pdf = FX.make_transcripts(seed=77, n_convs=40, max_turns=6).reset_index(drop=True)
+_pdf["_last_lsn"] = _np.arange(1, len(_pdf) + 1, dtype=_np.int64)
+_pdf["_deleted"] = False
+_pdf["ts"] = pd.Timestamp("2026-02-01") + pd.to_timedelta(
+    (_np.arange(len(_pdf)) * 7919) % len(_pdf), "h")
+_t5.append(spark.createDataFrame(
+    _pdf[[f.name for f in TRANSCRIPT_TABLE_SCHEMA.fields]],
+    TRANSCRIPT_TABLE_SCHEMA))
+import datetime as _dt
+_filt = [("ts", "<", _dt.datetime(2026, 2, 2))]
+_exp5 = _t5.scan(filters=_filt).orderBy(*KEY_COLS).toPandas()
+assert len(_t5.scan(filters=_filt).inputFiles()) == len(_t5.scan().inputFiles())
+assert _t5.compact(min_files_per_bucket=1, cluster_by="ts",
+                   files_per_bucket=4) is not None
+assert 0 < len(_t5.scan(filters=_filt).inputFiles()) < len(_t5.scan().inputFiles())
+_got5 = _t5.scan(filters=_filt).orderBy(*KEY_COLS).toPandas()
+pd.testing.assert_frame_equal(
+    _got5.reset_index(drop=True), _exp5.reset_index(drop=True))
+print("clustered-compaction surface: OK")
+
+_docs5 = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+_pairs5 = spark.createDataFrame([(7, 5), (5, 2), (0, 4)], "id_a long, id_b long")
+_cl5 = {r["doc_id"]: r["cluster_id"]
+        for r in dup_clusters(_docs5, _pairs5).collect()}
+assert _cl5 == {0: 0, 1: 1, 2: 2, 3: 3, 4: 0, 5: 2, 6: 6, 7: 2}
+_q5 = E.queries()["doc_dup_clusters"](spark, sf).toPandas()
+_e5 = con.sql(E.oracle_sql()["doc_dup_clusters"]).df()
+_c5 = sorted(_q5.columns)
+assert _c5 == sorted(_e5.columns)
+assert (_q5[_c5].sort_values(_c5).reset_index(drop=True).astype(str)
+        .equals(_e5[_c5].sort_values(_c5).reset_index(drop=True).astype(str)))
+print("dup-cluster surface: OK")
