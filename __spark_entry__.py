@@ -74,6 +74,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_dedup": q_doc_minhash_dedup,
         "doc_minhash_incremental": q_doc_minhash_incremental,
         "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_dup_clusters_incremental": q_doc_dup_clusters_incremental,
+        "doc_mixture_sample": q_doc_mixture_sample,
+        "doc_source_cap": q_doc_source_cap,
         "doc_simhash": q_doc_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,

@@ -50,11 +50,16 @@ from battetl_spark.queries.text import (  # noqa: F401
     q_doc_minhash_dedup,
     q_doc_minhash_incremental,
     q_doc_dup_clusters,
+    q_doc_dup_clusters_incremental,
     q_doc_simhash,
     q_corpus_clean,
     q_corpus_clean_incremental,
     q_corpus_clean_ooo,
     q_corpus_clean_stream,
+)
+from battetl_spark.queries.sampling import (  # noqa: F401
+    q_doc_mixture_sample,
+    q_doc_source_cap,
 )
 from battetl_spark.queries.ann import (  # noqa: F401
     q_ann_cosine_topk,

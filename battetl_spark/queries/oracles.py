@@ -7,6 +7,8 @@ sorting columns by name.
 
 from __future__ import annotations
 
+from battetl_spark.queries import sampling as _Q  # module import, no pkg cycle
+
 
 def _jaccard_pairs_sql(threshold: float) -> str:
     """Exhaustive all-pairs exact word-3-shingle Jaccard (ground truth for
@@ -79,6 +81,42 @@ def _dup_clusters_sql(threshold: float) -> str:
         LEFT JOIN (
           SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
         ) m ON m.node = d.doc_id
+    """
+
+
+def _mixture_sample_sql(weights: dict, budget: float, seed: int = 0) -> str:
+    """Bit-identical replay of calibrated_mixture_sample: exact integer
+    char sums -> one IEEE multiply/divide per stratum rate, membership by
+    the same md5-derived 52-bit uniform (dyadic, so both engines agree)."""
+    case = ("CASE lang " + " ".join(
+        f"WHEN '{k}' THEN {float(v)!r}" for k, v in weights.items()
+    ) + " ELSE 0.0 END")
+    return f"""
+        WITH totals AS (
+          SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS total
+          FROM documents GROUP BY lang
+        ),
+        rates AS (
+          SELECT lang,
+                 least(1.0, ({case}) * {float(budget)!r} / total) AS rate
+          FROM totals WHERE ({case}) > 0
+        )
+        SELECT d.doc_id AS doc_id, d.lang AS lang
+        FROM documents d JOIN rates r USING (lang)
+        WHERE CAST(('0x' || substring(md5(concat_ws('|', '{int(seed)}',
+                  d.doc_id::VARCHAR)), 1, 13)) AS BIGINT)
+              / 4503599627370496.0 < r.rate
+    """
+
+
+def _source_cap_sql(n: int) -> str:
+    return f"""
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rk
+          FROM documents)
+        WHERE rk <= {int(n)}
     """
 
 
@@ -636,6 +674,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_dedup": _jaccard_pairs_sql(0.8),
         "doc_minhash_incremental": _jaccard_pairs_sql(0.8),
         "doc_dup_clusters": _dup_clusters_sql(0.8),
+        "doc_dup_clusters_incremental": _dup_clusters_sql(0.8),
+        "doc_mixture_sample": _mixture_sample_sql(
+            _Q.MIX_WEIGHTS, _Q.MIX_BUDGET, seed=0
+        ),
+        "doc_source_cap": _source_cap_sql(_Q.SOURCE_CAP),
         "doc_simhash": _simhash_pairs_sql(3),
         "ann_lsh_topk": _ann_lsh_sql(dim=64, num_planes=4, k=10),
     }

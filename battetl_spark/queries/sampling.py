@@ -1,0 +1,39 @@
+"""Driver queries for the deterministic sampling / data-mixture operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from battetl_spark.queries._shared import _t
+
+# target size mixture over languages (weights sum to 1) and the char budget
+MIX_WEIGHTS = {"en": 0.4, "de": 0.2, "es": 0.15, "fr": 0.15, "zh": 0.1}
+MIX_BUDGET = 40_000.0
+SOURCE_CAP = 10
+
+
+def q_doc_mixture_sample(spark, sf):
+    """Data-mixing sampler: per-language rates calibrated so each language
+    contributes ~weight x budget of character mass, membership decided by
+    a deterministic md5-derived uniform (bit-identical in DuckDB). One tiny
+    aggregate + broadcast join; the corpus itself never shuffles."""
+    from battetl_spark.analytics.sampling import calibrated_mixture_sample
+
+    docs = _t(spark, sf, "documents")
+    out = calibrated_mixture_sample(
+        docs, "lang", MIX_WEIGHTS, MIX_BUDGET, size_col="n_chars", seed=0
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_doc_source_cap(spark, sf):
+    """Domain-cap: at most SOURCE_CAP docs per source, keeping the largest
+    (n_chars desc, doc_id tiebreak). Under-cap strata bypass the ranking
+    window via a broadcast count map — only over-cap rows shuffle."""
+    from battetl_spark.analytics.sampling import cap_per_stratum
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    out = cap_per_stratum(
+        docs, "source", SOURCE_CAP, [F.col("n_chars").desc()]
+    )
+    return out.select("doc_id", "source")

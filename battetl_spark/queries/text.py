@@ -133,6 +133,33 @@ def q_doc_dup_clusters(spark, sf):
     return dup_clusters(docs, pairs)
 
 
+def q_doc_dup_clusters_incremental(spark, sf):
+    """Cluster formation over INCREMENTALLY discovered pairs: the corpus
+    ingests as three batches through a persisted MinHashIndex (each batch
+    signs only itself and band-joins the stored index — the oracle-green
+    doc_minhash_incremental path), the per-batch pair outputs union into
+    the full pair graph, and connected components close it. Final labels
+    must equal the batch doc_dup_clusters answer (ground truth: the
+    recursive-CTE transitive closure of the exhaustive pair graph)."""
+    import tempfile
+
+    from battetl_spark.analytics.graph import dup_clusters
+    from battetl_spark.analytics.sig_index import MinHashIndex
+
+    docs = _t(spark, sf, "documents")
+    idx = MinHashIndex.create(
+        spark, tempfile.mkdtemp(prefix="mh_cc_") + "/idx"
+    )
+    out = None
+    for i in range(3):
+        pairs = idx.add_batch(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i),
+            jaccard_threshold=0.8,
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return dup_clusters(docs, out)
+
+
 def q_doc_simhash(spark, sf):
     """SimHash near-dup pairs — signatures are md5-hex bit votes (pure
     Catalyst), blocking is the 4×16-bit pigeonhole (guaranteed recall at
