@@ -75,6 +75,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_incremental": q_doc_minhash_incremental,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_dup_clusters_incremental": q_doc_dup_clusters_incremental,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_redact_pii": q_doc_redact_pii,
+        "doc_repetition": q_doc_repetition,
         "doc_mixture_sample": q_doc_mixture_sample,
         "doc_source_cap": q_doc_source_cap,
         "doc_simhash": q_doc_simhash,

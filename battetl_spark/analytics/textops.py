@@ -128,6 +128,49 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals, entirely IN-ROW (zero
+    shuffle — the heavy 100-TB filter pass stays map-only):
+
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram /
+      total bigram occurrences. Computed as the longest run in the SORTED
+      bigram-hash array via one ``aggregate`` fold — no explode, no
+      groupBy; a per-doc mode without ever shuffling a gram row.
+    - ``dup_trigram_frac``: fraction of trigram occurrences that repeat an
+      earlier one (1 − distinct/total).
+
+    Repetition-heavy machine-generated text scores high on both; a corpus
+    filter composes as ``.filter(top_bigram_frac < τ)``.
+    """
+    bg = F.array_sort(_word_shingle_hash_seq(text_col, 2))
+    zero = F.struct(
+        F.lit(None).cast("long").alias("prev"),
+        F.lit(0).alias("cur"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = (
+            F.when(acc["prev"].isNotNull() & (acc["prev"] == x), acc["cur"] + 1)
+            .otherwise(F.lit(1))
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("cur"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_run = F.aggregate(bg, zero, step, lambda a: a["best"])
+    tg = _word_shingle_hash_seq(text_col, 3)
+    return docs.withColumns({
+        "top_bigram_frac": F.round(
+            top_run.cast("double") / F.size(bg), 6
+        ),
+        "dup_trigram_frac": F.round(
+            F.lit(1.0) - F.size(F.array_distinct(tg)).cast("double") / F.size(tg), 6
+        ),
+    })
+
+
 # -------------------------------------------------------------- language id
 
 LANG_MARKERS = {
@@ -178,16 +221,10 @@ def _char_shingles(col, k: int):
     return F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(c, i, k))
 
 
-def word_shingle_hashes(col, k: int):
-    """Distinct k-word shingles of normalized text, as 64-bit hashes.
-
-    Built without any string concatenation in the per-shingle path: a word
-    hash array is materialized once, then each shingle hash is xxhash64 over
-    k cheap array gets — O(len·k) per doc. Two shingles hash-collide iff
-    their word tuples match (modulo 64-bit collisions), so set operations on
-    the hash arrays are isomorphic to set operations on shingle strings —
-    which is what makes exact-Jaccard verification oracle-expressible.
-    """
+def _word_shingle_hash_seq(col, k: int):
+    """The (non-distinct) k-word shingle hash SEQUENCE in document order —
+    the shared core of ``word_shingle_hashes`` (set semantics) and the
+    repetition features (occurrence semantics)."""
     words = F.split(normalized_text(col), " ")
     wh = F.transform(words, lambda w: F.xxhash64(w))
     n = F.greatest(F.size(wh) - (k - 1), F.lit(1))
@@ -199,12 +236,23 @@ def word_shingle_hashes(col, k: int):
     # skips NULL args, so short docs yield one partial shingle (mirroring
     # concat_ws's null-skip in the SQL oracle).
     shifted = [F.slice(wh, j + 1, n) for j in range(k)]
-    return F.array_distinct(
-        F.transform(
-            F.arrays_zip(*shifted),
-            lambda s: F.xxhash64(*[s[str(j)] for j in range(k)]),
-        )
+    return F.transform(
+        F.arrays_zip(*shifted),
+        lambda s: F.xxhash64(*[s[str(j)] for j in range(k)]),
     )
+
+
+def word_shingle_hashes(col, k: int):
+    """Distinct k-word shingles of normalized text, as 64-bit hashes.
+
+    Built without any string concatenation in the per-shingle path: a word
+    hash array is materialized once, then each shingle hash is xxhash64 over
+    k cheap array gets — O(len·k) per doc. Two shingles hash-collide iff
+    their word tuples match (modulo 64-bit collisions), so set operations on
+    the hash arrays are isomorphic to set operations on shingle strings —
+    which is what makes exact-Jaccard verification oracle-expressible.
+    """
+    return F.array_distinct(_word_shingle_hash_seq(col, k))
 
 
 # ----------------------------------------------------------- minhash + LSH
@@ -502,6 +550,85 @@ def ngram_jaccard_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return _exact_jaccard_over(cand, with_sh, id_col, threshold)
+
+
+# ------------------------------------------------------------ PII redaction
+
+# (pattern, replacement) in application order: specific → general, so the
+# greedy phone pattern can't eat an email's digits, an SSN, or an IP.
+# Patterns are deliberately RE2-safe (no lookaround/backrefs): they behave
+# identically under Java regex (Spark), RE2 (DuckDB/Go tooling), and PCRE —
+# a redaction pass must be reproducible outside the engine that ran it.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(col="text", patterns=PII_PATTERNS):
+    """Scrub PII from a text column: chained ``regexp_replace`` (pure
+    Catalyst, map-only — no UDF). Returns the redacted column expression;
+    compose as ``docs.withColumn("text", redact_pii())``."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in patterns:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+# ----------------------------------------------------------- decontamination
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Eval-set decontamination: flag every training document sharing at
+    least one k-word shingle with any document of ``eval_docs``.
+
+    Returns ``(id_col, n_shared)`` — the count of DISTINCT shared shingles
+    per contaminated doc (docs sharing none are absent; the clean training
+    set is ``docs`` anti-joined on the result, see ``decontaminated``).
+
+    Scale shape: eval sets (benchmarks) are tiny next to a 100-TB corpus,
+    so the distinct eval shingle set broadcasts (``broadcast_eval``) and
+    the corpus-side pass is MAP-SIDE explode + broadcast-hash semi-probe +
+    one partial-aggregated count — the corpus never shuffles rows, only
+    (id, count) partials. With ``broadcast_eval=False`` it degrades to a
+    bucketed shuffle join on the shingle hash. Shingle hashes are the same
+    xxhash64 word tuples the near-dup family uses, so set membership is
+    isomorphic to string shingles (what the DuckDB oracle computes).
+    """
+    ev = (
+        eval_docs.select(F.explode(word_shingle_hashes(text_col, k)).alias("g"))
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = docs.select(
+        F.col(id_col), F.explode(word_shingle_hashes(text_col, k)).alias("g")
+    )
+    # per-doc shingles and ev are both distinct → count(*) = distinct shared
+    return tr.join(ev, "g").groupBy(id_col).agg(
+        F.count("*").alias("n_shared")
+    )
+
+
+def decontaminated(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """The clean training set: ``docs`` minus every contaminated document."""
+    hits = decontaminate(docs, eval_docs, id_col, text_col, k, broadcast_eval)
+    return docs.join(hits.select(id_col), id_col, "left_anti")
 
 
 # -------------------------------------------------------- cleaning pipeline

@@ -51,6 +51,9 @@ from battetl_spark.queries.text import (  # noqa: F401
     q_doc_minhash_incremental,
     q_doc_dup_clusters,
     q_doc_dup_clusters_incremental,
+    q_doc_decontaminate,
+    q_doc_redact_pii,
+    q_doc_repetition,
     q_doc_simhash,
     q_corpus_clean,
     q_corpus_clean_incremental,

@@ -84,6 +84,82 @@ def _dup_clusters_sql(threshold: float) -> str:
     """
 
 
+def _decontaminate_sql(k: int, mod: int) -> str:
+    """Ground-truth decontamination over shingle STRINGS (the engine uses
+    xxhash64 word tuples — isomorphic set representation, as with the
+    Jaccard oracles): training docs (doc_id % mod != 0) sharing >= 1
+    k-word shingle with the eval slice, with distinct shared counts."""
+    terms = ", ".join(f"w[i+{j}]" for j in range(k))
+    return rf"""
+        WITH norm AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+              range(1, greatest(len(w) - {k - 1}, 1) + 1),
+              i -> concat_ws(' ', {terms}))) AS s
+          FROM norm
+        ),
+        ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % {mod} = 0),
+        tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % {mod} <> 0)
+        SELECT doc_id, count(*) AS n_shared
+        FROM tr JOIN ev USING (g) GROUP BY doc_id
+    """
+
+
+_REPETITION_SQL = r"""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(
+          range(1, greatest(len(w) - 1, 1) + 1),
+          i -> concat_ws(' ', w[i], w[i+1]))) AS g
+      FROM norm
+    ),
+    cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+    top AS (
+      SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6)
+               AS top_bigram_frac
+      FROM cnt GROUP BY doc_id
+    ),
+    tg AS (
+      SELECT doc_id, list_transform(
+          range(1, greatest(len(w) - 2, 1) + 1),
+          i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS s
+      FROM norm
+    ),
+    dup AS (
+      SELECT doc_id,
+             round(1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s), 6)
+               AS dup_trigram_frac
+      FROM tg
+    )
+    SELECT doc_id, top_bigram_frac, dup_trigram_frac
+    FROM top JOIN dup USING (doc_id)
+"""
+
+
+def _redact_pii_sql() -> str:
+    """Identical RE2 pattern chain over the identically augmented text."""
+    from battetl_spark.analytics.textops import PII_PATTERNS
+
+    expr = ("text || ' contact user' || doc_id::VARCHAR"
+            " || '@example.com or 10.1.' || (doc_id % 256)::VARCHAR"
+            " || '.7 ssn 123-45-6789 call +1 (555) 010-'"
+            " || (1000 + doc_id % 9000)::VARCHAR")
+    for pat, rep in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{rep}', 'g')"
+    return f"SELECT doc_id, {expr} AS redacted FROM documents"
+
+
 def _mixture_sample_sql(weights: dict, budget: float, seed: int = 0) -> str:
     """Bit-identical replay of calibrated_mixture_sample: exact integer
     char sums -> one IEEE multiply/divide per stratum rate, membership by
@@ -679,6 +755,9 @@ def oracle_sql() -> dict[str, str]:
             _Q.MIX_WEIGHTS, _Q.MIX_BUDGET, seed=0
         ),
         "doc_source_cap": _source_cap_sql(_Q.SOURCE_CAP),
+        "doc_decontaminate": _decontaminate_sql(3, 97),
+        "doc_redact_pii": _redact_pii_sql(),
+        "doc_repetition": _REPETITION_SQL,
         "doc_simhash": _simhash_pairs_sql(3),
         "ann_lsh_topk": _ann_lsh_sql(dim=64, num_planes=4, k=10),
     }

@@ -160,6 +160,50 @@ def q_doc_dup_clusters_incremental(spark, sf):
     return dup_clusters(docs, out)
 
 
+def q_doc_decontaminate(spark, sf):
+    """Eval-set decontamination: deterministic eval slice (doc_id % 97 == 0)
+    vs the rest as the training set; every training doc sharing a 3-word
+    shingle with any eval doc is flagged with its distinct-shared-shingle
+    count. Eval shingles broadcast; the corpus never shuffles rows."""
+    from battetl_spark.analytics.textops import decontaminate
+
+    docs = _t(spark, sf, "documents")
+    is_eval = F.pmod(F.col("doc_id"), F.lit(97)) == 0
+    return decontaminate(docs.filter(~is_eval), docs.filter(is_eval), k=3)
+
+
+def q_doc_repetition(spark, sf):
+    """Gopher-style repetition signals (top-bigram fraction via an in-row
+    sorted-hash max-run fold, duplicate-trigram fraction) — zero shuffle;
+    the oracle recomputes both from shingle strings with group-bys."""
+    from battetl_spark.analytics.textops import repetition_features
+
+    docs = _t(spark, sf, "documents")
+    return repetition_features(docs).select(
+        "doc_id", "top_bigram_frac", "dup_trigram_frac"
+    )
+
+
+def q_doc_redact_pii(spark, sf):
+    """PII scrubbing: every doc's text is augmented with deterministic
+    synthetic PII (email / IP / SSN / phone derived from doc_id — the raw
+    corpus has none, this keeps the check non-vacuous) and redacted by the
+    RE2-safe pattern chain. The oracle applies the identical chain in
+    DuckDB — byte-identical output proves the patterns are engine-portable."""
+    from battetl_spark.analytics.textops import redact_pii
+
+    docs = _t(spark, sf, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.1."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".7 ssn 123-45-6789 call +1 (555) 010-"),
+        (F.lit(1000) + F.pmod(F.col("doc_id"), F.lit(9000))).cast("string"),
+    )
+    return docs.select("doc_id", redact_pii(aug).alias("redacted"))
+
+
 def q_doc_simhash(spark, sf):
     """SimHash near-dup pairs — signatures are md5-hex bit votes (pure
     Catalyst), blocking is the 4×16-bit pigeonhole (guaranteed recall at

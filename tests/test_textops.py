@@ -803,3 +803,76 @@ def test_cleaner_out_of_order_equals_batch(spark, docs, tmp_path):
         cl2.result().orderBy("doc_id").toPandas()
         .reset_index(drop=True).equals(full)
     )
+
+
+def test_decontaminate_matches_python_ground_truth(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the dog"),
+        (2, "a completely different sentence entirely here"),
+        (3, "quick brown fox appears again in this text"),
+        (4, "nothing shared with anything else whatsoever"),
+    ]
+    ev_rows = [(100, "the quick brown fox sat down")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame(ev_rows, "doc_id long, text string")
+
+    def shingles(t, k=3):
+        w = t.split()
+        return {" ".join(w[i:i + k]) for i in range(max(len(w) - k + 1, 1))}
+
+    ev_sh = set().union(*(shingles(t) for _, t in ev_rows))
+    expect = {
+        i: len(shingles(t) & ev_sh)
+        for i, t in rows if shingles(t) & ev_sh
+    }
+    got = {r["doc_id"]: r["n_shared"]
+           for r in TX.decontaminate(docs, ev).collect()}
+    assert got == expect and 1 in got and 3 in got and 4 not in got
+
+    clean = sorted(r["doc_id"] for r in TX.decontaminated(docs, ev).collect())
+    assert clean == sorted(set(i for i, _ in rows) - set(expect))
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark, docs):
+    ev = docs.filter("doc_id % 97 = 0")
+    tr = docs.filter("doc_id % 97 <> 0")
+    plan = TX.decontaminate(tr, ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "PythonUDF" not in plan
+
+
+def test_redact_pii_cases(spark):
+    cases = [
+        ("mail me at john.doe+x@sub.example.co.uk now", "mail me at <EMAIL> now"),
+        ("server 192.168.0.1 down", "server <IP> down"),
+        ("ssn 123-45-6789 leaked", "ssn <SSN> leaked"),
+        ("call +1 (555) 010-2233 today", "call <PHONE> today"),
+        ("no pii here at all", "no pii here at all"),
+    ]
+    df = spark.createDataFrame(cases, "text string, expect string")
+    out = df.select(TX.redact_pii("text").alias("got"), "expect").collect()
+    for r in out:
+        assert r["got"] == r["expect"], (r["got"], r["expect"])
+
+
+def test_repetition_features_ground_truth(spark):
+    rows = [
+        (1, "a b a b a b a b"),          # 7 bigrams: 'a b'x4, 'b a'x3
+        (2, "w x y z q r s t"),           # all bigrams unique
+        (3, "c c c c c"),                 # 4 identical bigrams + trigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in TX.repetition_features(df).collect()}
+    assert got[1]["top_bigram_frac"] == round(4 / 7, 6)
+    assert got[1]["dup_trigram_frac"] == round(1 - 2 / 6, 6)
+    assert got[2]["top_bigram_frac"] == round(1 / 7, 6)
+    assert got[2]["dup_trigram_frac"] == 0.0
+    assert got[3]["top_bigram_frac"] == 1.0
+    assert got[3]["dup_trigram_frac"] == round(1 - 1 / 3, 6)
+
+
+def test_repetition_features_plan_is_map_only(spark, docs):
+    plan = (
+        TX.repetition_features(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "PythonUDF" not in plan

@@ -164,7 +164,8 @@ for t in ["events", "documents", "embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 for name in ["doc_minhash_dedup", "doc_simhash", "doc_ngram_jaccard",
              "ann_lsh_topk", "anti_join_new_keys", "ann_ivf_topk",
-             "emb_near_dup", "doc_mixture_sample", "doc_source_cap"]:
+             "emb_near_dup", "doc_mixture_sample", "doc_source_cap",
+             "doc_decontaminate", "doc_redact_pii", "doc_repetition"]:
     got = E.queries()[name](spark, sf).toPandas()
     exp = con.sql(E.oracle_sql()[name]).df()
     cols = sorted(got.columns)
