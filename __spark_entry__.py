@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_dedup": q_doc_minhash_dedup,
         "doc_minhash_incremental": q_doc_minhash_incremental,
         "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_cluster_reps": q_doc_cluster_reps,
         "doc_dup_clusters_incremental": q_doc_dup_clusters_incremental,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_redact_pii": q_doc_redact_pii,

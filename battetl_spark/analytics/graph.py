@@ -134,6 +134,30 @@ def connected_components(
     )
 
 
+def cluster_representatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    priority_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick each dup-cluster's canonical KEEP document: the max-``priority_col``
+    member, ties broken toward the minimum id (fully deterministic — use an
+    integer priority so external engines reproduce the argmax exactly).
+
+    Returns ``(cluster_id, rep_id, n_members)``. One partial-aggregated
+    ``max_by`` shuffle keyed by cluster_id — cluster count ≪ corpus size,
+    and the struct-ordered ``max_by`` combines map-side, so skewed giant
+    clusters reduce to one row per partition before the exchange.
+    """
+    j = docs.select(F.col(id_col), F.col(priority_col)).join(clusters, id_col)
+    return j.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col(priority_col), -F.col(id_col))
+        ).alias("rep_id"),
+        F.count("*").alias("n_members"),
+    )
+
+
 def dup_clusters(
     docs: DataFrame,
     pairs: DataFrame,

@@ -50,6 +50,7 @@ from battetl_spark.queries.text import (  # noqa: F401
     q_doc_minhash_dedup,
     q_doc_minhash_incremental,
     q_doc_dup_clusters,
+    q_doc_cluster_reps,
     q_doc_dup_clusters_incremental,
     q_doc_decontaminate,
     q_doc_redact_pii,

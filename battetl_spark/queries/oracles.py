@@ -196,6 +196,61 @@ def _source_cap_sql(n: int) -> str:
     """
 
 
+def _cluster_reps_sql(threshold: float) -> str:
+    """Transitive-closure clusters (same CTE chain as _dup_clusters_sql)
+    reduced to one row per cluster: the max-n_chars member (min-id
+    tiebreak) and the member count."""
+    return rf"""
+        WITH RECURSIVE norm AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                     range(1, greatest(len(w) - 2, 1) + 1),
+                     i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+          FROM norm
+        ),
+        pairs AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.s, b.s)) * 1.0
+                / len(list_distinct(a.s || b.s)) >= {threshold}
+        ),
+        edges AS (
+          SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+        ),
+        reach AS (
+          SELECT u AS node, u AS label FROM edges
+          UNION
+          SELECT e.v AS node, r.label
+          FROM reach r JOIN edges e ON e.u = r.node
+          WHERE r.label < e.v
+        ),
+        clusters AS (
+          SELECT d.doc_id AS doc_id,
+                 coalesce(m.cluster_id, d.doc_id) AS cluster_id,
+                 d.n_chars AS n_chars
+          FROM documents d
+          LEFT JOIN (
+            SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+          ) m ON m.node = d.doc_id
+        ),
+        ranked AS (
+          SELECT cluster_id, doc_id,
+                 row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY n_chars DESC, doc_id) AS rk,
+                 count(*) OVER (PARTITION BY cluster_id) AS n_members
+          FROM clusters
+        )
+        SELECT cluster_id, doc_id AS rep_id, n_members
+        FROM ranked WHERE rk = 1
+    """
+
+
 def _simhash_pairs_sql(max_hamming: int) -> str:
     """Exhaustive all-pairs SimHash hamming oracle. Reproduces the engine's
     signature exactly: token hash bit b = bit (b%4) of md5 hex digit b//4;
@@ -751,6 +806,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_incremental": _jaccard_pairs_sql(0.8),
         "doc_dup_clusters": _dup_clusters_sql(0.8),
         "doc_dup_clusters_incremental": _dup_clusters_sql(0.8),
+        "doc_cluster_reps": _cluster_reps_sql(0.8),
         "doc_mixture_sample": _mixture_sample_sql(
             _Q.MIX_WEIGHTS, _Q.MIX_BUDGET, seed=0
         ),

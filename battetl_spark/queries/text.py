@@ -133,6 +133,18 @@ def q_doc_dup_clusters(spark, sf):
     return dup_clusters(docs, pairs)
 
 
+def q_doc_cluster_reps(spark, sf):
+    """Canonical keep-set selection: each transitive near-dup cluster keeps
+    its LONGEST member (n_chars desc, min-id tiebreak — integer priority so
+    the DuckDB argmax reproduces exactly), with member counts. Composes
+    dup_clusters with a partial-aggregated struct max_by."""
+    from battetl_spark.analytics.graph import cluster_representatives
+
+    docs = _t(spark, sf, "documents")
+    clusters = q_doc_dup_clusters(spark, sf)
+    return cluster_representatives(docs, clusters)
+
+
 def q_doc_dup_clusters_incremental(spark, sf):
     """Cluster formation over INCREMENTALLY discovered pairs: the corpus
     ingests as three batches through a persisted MinHashIndex (each batch

@@ -99,6 +99,9 @@ ANALYTIC_QUERIES = [
     "doc_fingerprint",
     "doc_minhash_dedup",
     "doc_minhash_incremental",
+    "doc_dup_clusters",
+    "doc_decontaminate",
+    "doc_repetition",
     "doc_simhash",
     "corpus_clean",
     "corpus_clean_incremental",
@@ -182,7 +185,8 @@ def main():
     # reported per-query but excluded from the composite so the headline
     # total stays comparable with earlier rounds' query set
     added = {"cdc_merge_replay_mor", "doc_minhash_incremental",
-         "corpus_clean_incremental", "emb_near_dup_incremental"}
+         "corpus_clean_incremental", "emb_near_dup_incremental",
+         "doc_dup_clusters", "doc_decontaminate", "doc_repetition"}
     total = round(sum(v for k, v in timings.items() if k not in added), 3)
     print(
         json.dumps(

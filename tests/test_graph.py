@@ -93,3 +93,28 @@ def test_dup_clusters_covers_all_docs(spark):
     # canonical keep-set = cluster representatives
     keep = sorted(d for d, c in got.items() if d == c)
     assert keep == [0, 1, 2, 4, 5, 6, 9]
+
+
+def test_cluster_representatives(spark):
+    from battetl_spark.analytics.graph import cluster_representatives
+
+    docs = spark.createDataFrame(
+        [(i, 100 + (i * 13) % 7) for i in range(10)],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 7), (4, 8)], "id_a long, id_b long"
+    )
+    reps = {
+        r["cluster_id"]: (r["rep_id"], r["n_members"])
+        for r in cluster_representatives(docs, dup_clusters(docs, pairs)).collect()
+    }
+    # n_chars = 100 + (13i mod 7): cluster {1,3,7} → 106/104/100 → rep 1;
+    # cluster {4,8} → 103 vs 106 → rep 8
+    assert reps[1] == (1, 3) and reps[4] == (8, 2)
+    assert all(n == 1 for c, (_, n) in reps.items() if c not in (1, 4))
+    # tiebreak: equal priority keeps the SMALLER id
+    d2 = spark.createDataFrame([(5, 7), (9, 7)], "doc_id long, n_chars long")
+    p2 = spark.createDataFrame([(5, 9)], "id_a long, id_b long")
+    got = cluster_representatives(d2, dup_clusters(d2, p2)).collect()
+    assert got[0]["rep_id"] == 5 and got[0]["n_members"] == 2

@@ -307,3 +307,21 @@ assert _c5 == sorted(_e5.columns)
 assert (_q5[_c5].sort_values(_c5).reset_index(drop=True).astype(str)
         .equals(_e5[_c5].sort_values(_c5).reset_index(drop=True).astype(str)))
 print("dup-cluster surface: OK")
+
+# cluster-representative keep-set (round-5 post-close session 2): longest
+# member per dup cluster, min-id tiebreak, plus member counts — vs DuckDB
+from battetl_spark.analytics.graph import cluster_representatives
+_docs6 = spark.createDataFrame(
+    [(i, 100 + (i * 13) % 7) for i in range(8)], "doc_id long, n_chars long")
+_r6 = {r["cluster_id"]: (r["rep_id"], r["n_members"])
+       for r in cluster_representatives(
+           _docs6, dup_clusters(_docs6, _pairs5)).collect()}
+# cluster {0,4}: n_chars 100 vs 103 -> rep 4; {2,5,7}: 105/102/100 -> rep 2
+assert _r6[0] == (4, 2) and _r6[2] == (2, 3)
+_q6 = E.queries()["doc_cluster_reps"](spark, sf).toPandas()
+_e6 = con.sql(E.oracle_sql()["doc_cluster_reps"]).df()
+_c6 = sorted(_q6.columns)
+assert _c6 == sorted(_e6.columns)
+assert (_q6[_c6].sort_values(_c6).reset_index(drop=True).astype(str)
+        .equals(_e6[_c6].sort_values(_c6).reset_index(drop=True).astype(str)))
+print("cluster-reps surface: OK")
