@@ -36,6 +36,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_latest_per_key": q_lww_latest_per_key,
         "cdc_replay": q_cdc_replay,
+        "cdc_history": q_cdc_history,
+        "cdc_history_incremental": q_cdc_history_incremental,
+        "cdc_asof_state": q_cdc_asof_state,
         "watermark_filter": q_watermark_filter,
         "dim_upsert_keys": q_dim_upsert_keys,
         "minmax_meta_refresh": q_minmax_meta_refresh,

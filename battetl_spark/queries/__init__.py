@@ -6,6 +6,9 @@ each family in its own module makes per-query driver plan-build cost
 """
 
 from battetl_spark.queries.cdc import (  # noqa: F401
+    q_cdc_history,
+    q_cdc_history_incremental,
+    q_cdc_asof_state,
     q_lww_latest_per_key,
     q_cdc_replay,
     q_watermark_filter,

@@ -108,3 +108,105 @@ def q_anti_join_new_keys(spark, sf):
         .distinct()
     )
     return incoming.join(existing, ["user_id", "bucket_hour"], "left_anti")
+
+
+def _history_events(spark, sf):
+    """events table recast as a change-event stream: lsn = event_id,
+    'error' rows act as deletes (the same convention q_cdc_replay pins)."""
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "user_id",
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        "event_type",
+        "value",
+        "ts",
+    )
+
+
+def _history_out(hist):
+    return hist.select(
+        "user_id",
+        "op",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        "ts",
+        "valid_from_lsn",
+        "valid_to_lsn",
+    )
+
+
+def q_cdc_history(spark, sf):
+    """SCD-2 versioned history (battetl_spark.cdc.history_rows): every event
+    becomes a row valid over [event_id, next event_id for the key) — the
+    full-audit complement of q_cdc_replay's current state. Dup suppression
+    and the valid_to re-chain share ONE window Exchange (plan-pinned in
+    tests/test_history.py)."""
+    from battetl_spark.cdc.history import history_rows
+
+    return _history_out(history_rows(_history_events(spark, sf), ["user_id"]))
+
+
+def q_cdc_history_incremental(spark, sf):
+    """The same history built INCREMENTALLY through a persisted HistoryTable:
+    three batches split by lsn%3 — every batch is late relative to the prior
+    ones for most keys, so interval chains re-splice on each apply (CoW on
+    touched buckets + epoch fences). Must equal the batch oracle exactly."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from battetl_spark.cdc.history import HistoryTable
+
+    ev = _history_events(spark, sf).withColumn(
+        "source_partition", F.lit(0).cast("int")
+    )
+    payload = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("ts", T.TimestampNTZType(), True),
+        ]
+    )
+    h = HistoryTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="hist_incr_") + "/t",
+        payload,
+        key_cols=["user_id"],
+        num_buckets=8,
+    )
+    for i, residue in enumerate((2, 0, 1)):
+        h.apply(
+            ev.filter(F.pmod(F.col("lsn"), F.lit(3)) == residue), epoch_id=i
+        )
+    return _history_out(h.history())
+
+
+def q_cdc_asof_state(spark, sf):
+    """LSN time travel: table state at the half-way watermark, read off the
+    history's validity intervals (one interval predicate — no replay). The
+    oracle reconstructs the same state the independent way: per-key argmax
+    over the event prefix."""
+    from battetl_spark.cdc.history import history_rows
+
+    ev = _history_events(spark, sf)
+    wm = ev.agg(F.expr("max(lsn) div 2").alias("wm"))
+    hist = history_rows(ev, ["user_id"])
+    return (
+        hist.crossJoin(F.broadcast(wm))
+        .filter(
+            (F.col("valid_from_lsn") <= F.col("wm"))
+            & (F.col("valid_to_lsn").isNull() | (F.col("valid_to_lsn") > F.col("wm")))
+            & (F.col("op") != "d")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            "ts",
+            F.col("valid_from_lsn").alias("state_event_id"),
+        )
+    )

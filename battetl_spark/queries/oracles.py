@@ -339,6 +339,15 @@ def oracle_sql() -> dict[str, str]:
             "fr": ["le", "la", "les", "et", "est"],
         }.items()
     )
+    _HISTORY_SQL = """
+        SELECT user_id,
+               CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+               event_type, round(value, 6) AS value, ts,
+               event_id AS valid_from_lsn,
+               lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+                 AS valid_to_lsn
+        FROM events
+    """
     out = {
         "lww_latest_per_key": """
             SELECT user_id,
@@ -358,6 +367,20 @@ def oracle_sql() -> dict[str, str]:
                    event_type AS last_event_type,
                    round(value, 6) AS last_value
             FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_history": _HISTORY_SQL,
+        "cdc_history_incremental": _HISTORY_SQL,
+        "cdc_asof_state": """
+            WITH wm AS (SELECT max(event_id) // 2 AS w FROM events),
+            last AS (
+              SELECT user_id, max(event_id) AS state_event_id
+              FROM events, wm WHERE event_id <= w GROUP BY user_id
+            )
+            SELECT e.user_id, e.event_type, round(e.value, 6) AS value, e.ts,
+                   l.state_event_id
+            FROM events e JOIN last l
+              ON e.user_id = l.user_id AND e.event_id = l.state_event_id
+            WHERE e.event_type <> 'error'
         """,
         "watermark_filter": """
             SELECT user_id, count(*)::BIGINT AS n_new,

@@ -88,6 +88,8 @@ def ev_lsn(batch_idx: int, batch_size: int):
 ANALYTIC_QUERIES = [
     "lww_latest_per_key",
     "cdc_replay",
+    "cdc_history",
+    "cdc_asof_state",
     "running_cumsum",
     "user_rollup",
     "groupby_agg",
@@ -186,7 +188,8 @@ def main():
     # total stays comparable with earlier rounds' query set
     added = {"cdc_merge_replay_mor", "doc_minhash_incremental",
          "corpus_clean_incremental", "emb_near_dup_incremental",
-         "doc_dup_clusters", "doc_decontaminate", "doc_repetition"}
+         "doc_dup_clusters", "doc_decontaminate", "doc_repetition",
+         "cdc_history", "cdc_asof_state"}
     total = round(sum(v for k, v in timings.items() if k not in added), 3)
     print(
         json.dumps(

@@ -325,3 +325,38 @@ assert _c6 == sorted(_e6.columns)
 assert (_q6[_c6].sort_values(_c6).reset_index(drop=True).astype(str)
         .equals(_e6[_c6].sort_values(_c6).reset_index(drop=True).astype(str)))
 print("cluster-reps surface: OK")
+
+# SCD-2 history surface (round-5 post-close session 2): incremental
+# out-of-order ingest == batch history_rows; fenced replay no-op; LSN
+# time travel equals the pandas prefix replay; oracle-reshaped queries
+from battetl_spark.cdc import HistoryTable, history_rows
+from battetl_spark.schemas import TRANSCRIPT_SCHEMA, LAST_LSN_COL as _LSN
+_hev = FX.make_change_events(seed=11, n_events=4000, n_convs=30, max_turns=8,
+                             dup_rate=0.05, shuffle_window=300)
+_h = HistoryTable.create(
+    spark, _tf.mkdtemp(prefix="vhist_") + "/t", TRANSCRIPT_SCHEMA,
+    key_cols=["conv_id", "turn_idx"], num_buckets=8)
+for _i, _r in enumerate((2, 0, 1)):
+    assert _h.apply(FX.change_events_df(
+        spark, _hev[_hev["lsn"] % 3 == _r]), epoch_id=_i).applied
+assert not _h.apply(FX.change_events_df(
+    spark, _hev[_hev["lsn"] % 3 == 1]), epoch_id=2).applied  # fenced replay
+_hcols = ["conv_id", "turn_idx", "valid_from_lsn"]
+_hb = (history_rows(FX.change_events_df(spark, _hev), ["conv_id", "turn_idx"])
+       .orderBy(*_hcols).toPandas())
+_hg = _h.history().select(*_hb.columns).orderBy(*_hcols).toPandas()
+pd.testing.assert_frame_equal(_hg, _hb)
+_L = int(_hev["lsn"].max() // 3)
+_hexp = FX.pandas_oracle_replay(None, _hev[_hev["lsn"] <= _L]).drop(
+    columns=[_LSN]).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+_hgot = (_h.state_as_of(_L).select(*_hexp.columns)
+         .orderBy("conv_id", "turn_idx").toPandas())
+pd.testing.assert_frame_equal(_hgot, _hexp)
+for _q in ("cdc_history", "cdc_asof_state"):
+    _qs = E.queries()[_q](spark, sf).toPandas()
+    _es = con.sql(E.oracle_sql()[_q]).df()
+    _cs = sorted(_qs.columns)
+    assert _cs == sorted(_es.columns), _q
+    assert (_qs[_cs].sort_values(_cs).reset_index(drop=True).astype(str)
+            .equals(_es[_cs].sort_values(_cs).reset_index(drop=True).astype(str))), _q
+print("scd2-history surface: OK")
