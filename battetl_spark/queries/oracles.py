@@ -185,6 +185,40 @@ def _mixture_sample_sql(weights: dict, budget: float, seed: int = 0) -> str:
     """
 
 
+def _pack_sequences_sql(seq_len: int, seed: int = 0) -> str:
+    """Bit-identical replay of pack_documents: same 52-bit md5 order key
+    (exact BIGINT — ordering and chunk arithmetic never touch a double),
+    one global running-sum window for the offsets, spans via lateral
+    range unnest."""
+    return rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS toks,
+                 CAST(('0x' || substring(md5(concat_ws('|', '{int(seed)}',
+                      doc_id::VARCHAR)), 1, 13)) AS BIGINT) AS k
+          FROM documents
+        ),
+        o AS (
+          SELECT doc_id, toks,
+                 coalesce(sum(toks) OVER (ORDER BY k, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0)::BIGINT AS off
+          FROM t WHERE toks > 0
+        )
+        SELECT c.chunk_id,
+               o.doc_id,
+               greatest(0, c.chunk_id * {seq_len} - o.off) AS start_in_doc,
+               greatest(0, o.off - c.chunk_id * {seq_len}) AS start_in_chunk,
+               least((c.chunk_id + 1) * {seq_len}, o.off + o.toks)
+                 - greatest(c.chunk_id * {seq_len}, o.off) AS n_toks
+        FROM o, LATERAL (
+          SELECT unnest(range(o.off // {seq_len},
+                              (o.off + o.toks - 1) // {seq_len} + 1))
+                 AS chunk_id
+        ) c
+    """
+
+
 def _source_cap_sql(n: int) -> str:
     return f"""
         SELECT doc_id, source FROM (
@@ -834,6 +868,7 @@ def oracle_sql() -> dict[str, str]:
             _Q.MIX_WEIGHTS, _Q.MIX_BUDGET, seed=0
         ),
         "doc_source_cap": _source_cap_sql(_Q.SOURCE_CAP),
+        "doc_pack_sequences": _pack_sequences_sql(_Q.PACK_SEQ_LEN, seed=0),
         "doc_decontaminate": _decontaminate_sql(3, 97),
         "doc_redact_pii": _redact_pii_sql(),
         "doc_repetition": _REPETITION_SQL,

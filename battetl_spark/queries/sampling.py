@@ -37,3 +37,18 @@ def q_doc_source_cap(spark, sf):
         docs, "source", SOURCE_CAP, [F.col("n_chars").desc()]
     )
     return out.select("doc_id", "source")
+
+
+PACK_SEQ_LEN = 128
+
+
+def q_doc_pack_sequences(spark, sf):
+    """Sequence packing (concat-and-chunk): the corpus in deterministic
+    md5-shuffled order, concatenated and cut every PACK_SEQ_LEN tokens;
+    one row per (chunk, document-span). The distributed two-pass prefix
+    sum must reproduce DuckDB's global running-sum window exactly (shard
+    boundaries are invisible: the shard id is monotone in the order key)."""
+    from battetl_spark.analytics.packing import pack_documents
+
+    docs = _t(spark, sf, "documents")
+    return pack_documents(docs, PACK_SEQ_LEN, seed=0)

@@ -104,6 +104,7 @@ ANALYTIC_QUERIES = [
     "doc_dup_clusters",
     "doc_decontaminate",
     "doc_repetition",
+    "doc_pack_sequences",
     "doc_simhash",
     "corpus_clean",
     "corpus_clean_incremental",
@@ -189,7 +190,7 @@ def main():
     added = {"cdc_merge_replay_mor", "doc_minhash_incremental",
          "corpus_clean_incremental", "emb_near_dup_incremental",
          "doc_dup_clusters", "doc_decontaminate", "doc_repetition",
-         "cdc_history", "cdc_asof_state"}
+         "cdc_history", "cdc_asof_state", "doc_pack_sequences"}
     total = round(sum(v for k, v in timings.items() if k not in added), 3)
     print(
         json.dumps(

@@ -360,3 +360,15 @@ for _q in ("cdc_history", "cdc_asof_state"):
     assert (_qs[_cs].sort_values(_cs).reset_index(drop=True).astype(str)
             .equals(_es[_cs].sort_values(_cs).reset_index(drop=True).astype(str))), _q
 print("scd2-history surface: OK")
+
+# sequence-packing surface (round-5 post-close session 2): pack plan vs the
+# DuckDB running-sum oracle + chunk-fullness sanity
+_qp = E.queries()["doc_pack_sequences"](spark, sf).toPandas()
+_ep = con.sql(E.oracle_sql()["doc_pack_sequences"]).df()
+_cp = sorted(_qp.columns)
+assert _cp == sorted(_ep.columns)
+assert (_qp[_cp].sort_values(_cp).reset_index(drop=True).astype(str)
+        .equals(_ep[_cp].sort_values(_cp).reset_index(drop=True).astype(str)))
+_full = _qp.groupby("chunk_id")["n_toks"].sum()
+assert (_full.iloc[:-1] == 128).all() and 0 < _full.iloc[-1] <= 128
+print("sequence-packing surface: OK")
