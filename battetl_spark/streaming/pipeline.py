@@ -93,6 +93,7 @@ class CdcStream:
         auto_compact_fences_every: int | None = 64,
         metrics_dir: str | None = None,
         stats_table: LakeTable | None = None,
+        history_table=None,
     ):
         self.table = table
         self.checkpoint_dir = checkpoint_dir
@@ -129,6 +130,16 @@ class CdcStream:
         # no-op, and the stats refresh (not yet fenced) recomputes from the
         # already-merged table state — converging to the same result.
         self.stats_table = stats_table
+        # optional SCD-2 sink (battetl_spark.cdc.HistoryTable): the same
+        # batch also maintains the full-version history table. The two
+        # sinks fence the SAME epoch on SEPARATE tables — the dual-commit
+        # convergence argument above applies verbatim: a crash between the
+        # merge commit and the history commit replays the epoch; whichever
+        # table already fenced it no-ops, the other applies. History
+        # apply is additionally ROW-level idempotent (duplicate (key, lsn)
+        # frames collapse to the existing row), so even an unfenced replay
+        # cannot duplicate versions.
+        self.history_table = history_table
 
     def _apply(self, batch_df: DataFrame, epoch_id: int) -> None:
         if self.fail_injector is not None:
@@ -154,6 +165,16 @@ class CdcStream:
             self.table.compact_fences()
             if self.stats_table is not None:
                 self.stats_table.compact_fences()
+            if self.history_table is not None:
+                self.history_table.table.compact_fences()
+        if self.history_table is not None:
+            hres = self.history_table.apply(
+                batch_df, epoch_id=epoch_id, collect_lineage=False
+            )
+            if self.auto_compact_files is not None and hres.applied:
+                self.history_table.table.compact(
+                    min_files_per_bucket=self.auto_compact_files
+                )
         if self.stats_table is not None and not self.stats_table.has_fence(epoch_id):
             from battetl_spark.cdc.stats_maintenance import refresh_stats
 

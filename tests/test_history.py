@@ -208,3 +208,58 @@ def test_history_rows_plan_single_exchange(spark, events_pdf):
     )
     assert plan.count("Exchange") == 1
     assert plan.count("Sort ") == 1
+
+
+def test_streaming_history_sink_crash_resume(spark, tmp_path, events_pdf, expected):
+    """CdcStream maintains current-state AND SCD-2 history from one stream,
+    exactly-once each. Batches arrive by lsn residue (every batch late for
+    most keys → splice under streaming); an injected crash in the gap after
+    the merge commit but before the history commit replays the epoch: the
+    merge no-ops on its fence, the history applies — both converge to the
+    batch answer."""
+    from battetl_spark.streaming.pipeline import (
+        CdcStream,
+        read_change_event_stream,
+    )
+
+    src = str(tmp_path / "events")
+    for r in range(5):  # residue files: discovery order != lsn order
+        FX.change_events_df(
+            spark, events_pdf[events_pdf["lsn"] % 5 == r].reset_index(drop=True)
+        ).coalesce(1).write.mode("append").parquet(src)
+    t = LakeTable.create(
+        spark, str(tmp_path / "cur"), TRANSCRIPT_TABLE_SCHEMA,
+        num_buckets=8, key_cols=KEY_COLS,
+    )
+    h = HistoryTable.create(
+        spark, str(tmp_path / "hist"), TRANSCRIPT_SCHEMA,
+        key_cols=KEY_COLS, num_buckets=8,
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    crashed = {"done": False}
+
+    def injector(epoch_id, phase):
+        if epoch_id == 2 and phase == "after_merge" and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash between merge and history")
+
+    stream = CdcStream(t, ckpt, history_table=h, fail_injector=injector)
+    with pytest.raises(Exception):
+        stream.run_to_completion(read_change_event_stream(spark, src))
+    assert crashed["done"]
+    # the dangerous gap: current fenced epoch 2, history did not
+    assert t.has_fence(2) and not h.table.has_fence(2)
+
+    stream2 = CdcStream(t, ckpt, history_table=h)
+    stream2.run_to_completion(read_change_event_stream(spark, src))
+
+    got = h.history().toPandas()
+    assert_pdf_equal(_norm(got), _norm(expected),
+                     sort_cols=["conv_id", "turn_idx", VALID_FROM])
+    cur = h.current_state().select(
+        *[f.name for f in TRANSCRIPT_SCHEMA.fields],
+        F.col(VALID_FROM).alias(LAST_LSN_COL),
+    ).toPandas()
+    lww = t.scan().select(*cur.columns).toPandas()
+    assert_pdf_equal(cur, lww, sort_cols=KEY_COLS)
