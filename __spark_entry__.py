@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_sample": q_doc_mixture_sample,
         "doc_source_cap": q_doc_source_cap,
         "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_pack_chunks": q_doc_pack_chunks,
         "doc_simhash": q_doc_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,

@@ -137,3 +137,47 @@ def pack_documents(
             - F.greatest(c_lo, F.col("__off"))
         ).alias("n_toks"),
     )
+
+
+def materialize_chunks(
+    docs: DataFrame,
+    plan: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assemble the packed sequences a ``pack_documents`` plan describes:
+    ``(chunk_id, n_toks, tokens array<string>)``.
+
+    This is the byte-moving half of packing, deliberately separate from the
+    plan: one equi-join ``plan ⋈ docs`` on the id (each side one shuffle —
+    Catalyst picks sort-merge for two large sides, broadcast when the plan
+    is small), per-span token slices map-side, then ONE groupBy(chunk_id)
+    that moves exactly ``seq_len`` tokens per output chunk. Span order
+    inside a chunk is restored with ``array_sort`` over (start_in_chunk,
+    piece) structs — no window, no second shuffle.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    pieces = plan.join(
+        docs.select(F.col(id_col), toks.alias("__toks")), id_col
+    ).select(
+        "chunk_id",
+        "n_toks",
+        F.slice(
+            F.col("__toks"),
+            (F.col("start_in_doc") + 1).cast("int"),
+            F.col("n_toks").cast("int"),
+        ).alias("__piece"),
+        "start_in_chunk",
+    )
+    return pieces.groupBy("chunk_id").agg(
+        F.sum("n_toks").alias("n_toks"),
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("start_in_chunk", "__piece"))
+                ),
+                lambda s: s["__piece"],
+            )
+        ).alias("tokens"),
+    )

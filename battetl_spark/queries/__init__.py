@@ -68,6 +68,7 @@ from battetl_spark.queries.sampling import (  # noqa: F401
     q_doc_mixture_sample,
     q_doc_source_cap,
     q_doc_pack_sequences,
+    q_doc_pack_chunks,
 )
 from battetl_spark.queries.ann import (  # noqa: F401
     q_ann_cosine_topk,

@@ -219,6 +219,26 @@ def _pack_sequences_sql(seq_len: int, seed: int = 0) -> str:
     """
 
 
+def _pack_chunks_sql(seq_len: int, seed: int = 0) -> str:
+    """Materialized chunks: the span plan (same CTEs) joined to the corpus,
+    token slices reassembled with an ORDERED string_agg."""
+    plan = _pack_sequences_sql(seq_len, seed)
+    return rf"""
+        WITH plan AS ({plan})
+        SELECT p.chunk_id,
+               sum(p.n_toks)::BIGINT AS n_toks,
+               string_agg(
+                 array_to_string(
+                   list_slice(regexp_split_to_array(trim(d.text), '\s+'),
+                              p.start_in_doc + 1,
+                              p.start_in_doc + p.n_toks),
+                   ' '),
+                 ' ' ORDER BY p.start_in_chunk) AS chunk_text
+        FROM plan p JOIN documents d USING (doc_id)
+        GROUP BY p.chunk_id
+    """
+
+
 def _source_cap_sql(n: int) -> str:
     return f"""
         SELECT doc_id, source FROM (
@@ -869,6 +889,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_source_cap": _source_cap_sql(_Q.SOURCE_CAP),
         "doc_pack_sequences": _pack_sequences_sql(_Q.PACK_SEQ_LEN, seed=0),
+        "doc_pack_chunks": _pack_chunks_sql(_Q.PACK_SEQ_LEN, seed=0),
         "doc_decontaminate": _decontaminate_sql(3, 97),
         "doc_redact_pii": _redact_pii_sql(),
         "doc_repetition": _REPETITION_SQL,

@@ -52,3 +52,20 @@ def q_doc_pack_sequences(spark, sf):
 
     docs = _t(spark, sf, "documents")
     return pack_documents(docs, PACK_SEQ_LEN, seed=0)
+
+
+def q_doc_pack_chunks(spark, sf):
+    """Materialized packed sequences: the pack plan joined back to the
+    corpus, spans sliced and reassembled per chunk (one join + one
+    groupBy(chunk_id) — the honest byte-moving cost of packing). Emitted
+    as text so DuckDB's ordered string_agg reproduces it exactly."""
+    from battetl_spark.analytics.packing import materialize_chunks, pack_documents
+
+    docs = _t(spark, sf, "documents")
+    plan = pack_documents(docs, PACK_SEQ_LEN, seed=0)
+    out = materialize_chunks(docs, plan)
+    return out.select(
+        "chunk_id",
+        "n_toks",
+        F.concat_ws(" ", F.col("tokens")).alias("chunk_text"),
+    )

@@ -105,6 +105,7 @@ ANALYTIC_QUERIES = [
     "doc_decontaminate",
     "doc_repetition",
     "doc_pack_sequences",
+    "doc_pack_chunks",
     "doc_simhash",
     "corpus_clean",
     "corpus_clean_incremental",
@@ -190,7 +191,7 @@ def main():
     added = {"cdc_merge_replay_mor", "doc_minhash_incremental",
          "corpus_clean_incremental", "emb_near_dup_incremental",
          "doc_dup_clusters", "doc_decontaminate", "doc_repetition",
-         "cdc_history", "cdc_asof_state", "doc_pack_sequences"}
+         "cdc_history", "cdc_asof_state", "doc_pack_sequences", "doc_pack_chunks"}
     total = round(sum(v for k, v in timings.items() if k not in added), 3)
     print(
         json.dumps(

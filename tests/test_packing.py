@@ -127,3 +127,29 @@ def test_pack_plan_shape(docs):
     # reuses the same partial-agg shape); plus the tiny #shards-row window's
     # single partition. No more.
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_materialize_chunks_roundtrip(docs, docs_pdf):
+    """Materialized chunks concatenate back to exactly the corpus token
+    stream in the deterministic shuffle order."""
+    from battetl_spark.analytics.packing import materialize_chunks, pack_documents
+
+    out = (
+        materialize_chunks(docs, pack_documents(docs, L, num_shards=5))
+        .orderBy("chunk_id")
+        .toPandas()
+    )
+    # chunk sizes: all full except the final chunk
+    sizes = out["n_toks"].tolist()
+    assert all(s == L for s in sizes[:-1]) and 0 < sizes[-1] <= L
+    assert all(len(t) == s for t, s in zip(out["tokens"], sizes))
+    got_stream = [w for t in out["tokens"] for w in t]
+    order = sorted(
+        ((int(r.doc_id), _toks(r.text)) for r in docs_pdf.itertuples(index=False)),
+        key=lambda dn: (_key(dn[0]), dn[0]),
+    )
+    texts = {int(r.doc_id): str(r.text) for r in docs_pdf.itertuples(index=False)}
+    exp_stream = [
+        w for d, _ in order for w in re.split(r"\s+", texts[d].strip())
+    ]
+    assert got_stream == exp_stream

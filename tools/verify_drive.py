@@ -372,3 +372,12 @@ assert (_qp[_cp].sort_values(_cp).reset_index(drop=True).astype(str)
 _full = _qp.groupby("chunk_id")["n_toks"].sum()
 assert (_full.iloc[:-1] == 128).all() and 0 < _full.iloc[-1] <= 128
 print("sequence-packing surface: OK")
+
+# chunk materialization: plan → packed sequences, vs DuckDB ordered agg
+_qm = E.queries()["doc_pack_chunks"](spark, sf).toPandas()
+_em = con.sql(E.oracle_sql()["doc_pack_chunks"]).df()
+_cm = sorted(_qm.columns)
+assert _cm == sorted(_em.columns)
+assert (_qm[_cm].sort_values(_cm).reset_index(drop=True).astype(str)
+        .equals(_em[_cm].sort_values(_cm).reset_index(drop=True).astype(str)))
+print("chunk-materialization surface: OK")
