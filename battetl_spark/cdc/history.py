@@ -331,6 +331,51 @@ class HistoryTable:
             files_per_bucket=files_per_bucket,
         )
 
+    def expire_versions(self, before_lsn: int) -> dict | None:
+        """Retention GC: drop CLOSED versions whose validity ended at or
+        before ``before_lsn`` (``valid_to_lsn <= L``). Open rows and rows
+        closed after ``L`` survive, so every ``state_as_of(l)`` with
+        ``l >= L`` — and the current state — is unchanged; time travel
+        below the horizon becomes undefined (the point of retention).
+
+        SPLICE CAVEAT: expiry also truncates the chains late events would
+        splice into — only run it once ``before_lsn`` is at or below the
+        source's max reorder horizon (the same contract as
+        ``LakeTable.vacuum_tombstones``); a later event for an expired
+        interval would re-chain against the surviving suffix only.
+
+        Zone-map pruned like vacuum_tombstones: a bucket rewrites only if
+        some file MAY hold an expirable row (min(valid_to_lsn) <= L; files
+        without stats rewrite conservatively) — cost ∝ qualifying-bucket
+        bytes, never table bytes. Returns the new snapshot or None."""
+        table = self.table
+        snap = table.snapshot()
+        L = int(before_lsn)
+
+        def may_qualify(entry: dict) -> bool:
+            stats = entry.get("stats") or {}
+            vt = stats.get(VALID_TO)
+            # valid_to stats: NULL-only files harvest min=None → cannot
+            # qualify (open rows never expire); missing stats → rewrite
+            if vt is None:
+                return True
+            return vt["min"] is not None and vt["min"] <= L
+
+        buckets = sorted(
+            int(b)
+            for b, entries in snap["files"].items()
+            if any(may_qualify(e) for e in entries)
+        )
+        if not buckets:
+            return None
+        rows = table.scan(buckets, snap)
+        kept = rows.filter(
+            F.col(VALID_TO).isNull() | (F.col(VALID_TO) > F.lit(L))
+        ).withColumn(
+            BUCKET_COL, bucket_expr(snap["bucket_key"], snap["num_buckets"])
+        )
+        return table.replace_buckets(kept, buckets, base_snapshot=snap)
+
     # ----------------------------------------------------------------- reads
     def history(self) -> DataFrame:
         return self.table.scan()

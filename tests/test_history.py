@@ -263,3 +263,41 @@ def test_streaming_history_sink_crash_resume(spark, tmp_path, events_pdf, expect
     ).toPandas()
     lww = t.scan().select(*cur.columns).toPandas()
     assert_pdf_equal(cur, lww, sort_cols=KEY_COLS)
+
+
+def test_expire_versions_retention(spark, events_pdf):
+    """Retention GC: after expire_versions(L), every state_as_of(l >= L)
+    and the current state are byte-identical; expired closed versions are
+    gone; a bucket holding no expirable rows is not rewritten."""
+    h = _new_hist(spark)
+    for i, residue in enumerate((2, 0, 1)):
+        h.apply(
+            _events_df(spark, events_pdf[events_pdf["lsn"] % 3 == residue]),
+            epoch_id=i,
+        )
+    max_lsn = int(events_pdf["lsn"].max())
+    L = max_lsn // 2
+    probes = [L, (L + max_lsn) // 2, max_lsn]
+    before = {
+        p: h.state_as_of(p).orderBy(*KEY_COLS).toPandas() for p in probes
+    }
+    cur_before = h.current_state().orderBy(*KEY_COLS).toPandas()
+    n_before = h.history().count()
+
+    snap = h.expire_versions(L)
+    assert snap is not None
+    # the expired rows are exactly the closed-by-L versions
+    assert h.history().filter(
+        F.col(VALID_TO).isNotNull() & (F.col(VALID_TO) <= L)
+    ).count() == 0
+    assert h.history().count() < n_before
+    for p in probes:
+        after = h.state_as_of(p).orderBy(*KEY_COLS).toPandas()
+        pd.testing.assert_frame_equal(after, before[p], check_dtype=False)
+    pd.testing.assert_frame_equal(
+        h.current_state().orderBy(*KEY_COLS).toPandas(), cur_before,
+        check_dtype=False,
+    )
+    # idempotent second pass: every remaining valid_to > L → zone maps
+    # prove no bucket qualifies → no rewrite at all
+    assert h.expire_versions(L) is None

@@ -10,6 +10,8 @@ safe beside a running stream (conflict-detected where they rewrite data):
                     snapshots; prune old snapshot roots
   compact-fences    fold the contiguous fenced-epoch prefix into the floor
   rebucket          power-of-two bucket-count growth (shuffle-free rewrite)
+  expire-history    SCD-2 retention: drop versions closed at/below an LSN
+                    (HistoryTable; bucket-pruned via valid_to zone maps)
 
 plus one for the file-backed change log (``--log`` instead of ``--table``):
 
@@ -50,6 +52,8 @@ def main():
     p = sub.add_parser("vacuum-files")
     p.add_argument("--keep-snapshots", type=int, default=2)
     sub.add_parser("compact-fences")
+    p = sub.add_parser("expire-history")
+    p.add_argument("--before-lsn", type=int, required=True)
     p = sub.add_parser("rebucket")
     p.add_argument("--num-buckets", type=int, required=True)
     p = sub.add_parser("vacuum-segments")
@@ -99,6 +103,11 @@ def main():
         floor = table.fence_floor()
         print(f"compact-fences: {'no-op' if snap is None else 'folded'} "
               f"(floor={floor}, map={len(table.fences())})")
+    elif args.op == "expire-history":
+        from battetl_spark.cdc import HistoryTable
+
+        print("expire-history: "
+              + ver(HistoryTable(table).expire_versions(args.before_lsn)))
     elif args.op == "rebucket":
         snap = table.rebucket(args.num_buckets)
         print(f"rebucket: v{snap['version']} num_buckets={snap['num_buckets']}")

@@ -381,3 +381,12 @@ assert _cm == sorted(_em.columns)
 assert (_qm[_cm].sort_values(_cm).reset_index(drop=True).astype(str)
         .equals(_em[_cm].sort_values(_cm).reset_index(drop=True).astype(str)))
 print("chunk-materialization surface: OK")
+
+# history retention GC: expire closed versions below the horizon; states at
+# and above it unchanged; second pass is a zone-map-proved no-op
+_pre = _h.state_as_of(_L).orderBy("conv_id", "turn_idx").toPandas()
+assert _h.expire_versions(_L) is not None
+pd.testing.assert_frame_equal(
+    _h.state_as_of(_L).orderBy("conv_id", "turn_idx").toPandas(), _pre)
+assert _h.expire_versions(_L) is None
+print("history-retention surface: OK")
