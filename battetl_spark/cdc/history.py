@@ -59,6 +59,21 @@ _META = (OP_COL, VALID_FROM, VALID_TO)
 _ENVELOPE = ("lsn", "op", "source_partition")
 
 
+def _incoming_history_schema(events: DataFrame) -> T.StructType:
+    """History-table schema implied by an event batch: payload columns +
+    the versioning meta (mirrors merge's _incoming_table_schema, so the
+    same add/widen gate applies to the history sink)."""
+    fields = [f for f in events.schema.fields if f.name not in _ENVELOPE]
+    return T.StructType(
+        fields
+        + [
+            T.StructField(OP_COL, T.StringType(), False),
+            T.StructField(VALID_FROM, T.LongType(), False),
+            T.StructField(VALID_TO, T.LongType(), True),
+        ]
+    )
+
+
 def history_rows(
     events: DataFrame, key_cols: list[str], lsn_col: str = "lsn"
 ) -> DataFrame:
@@ -193,9 +208,11 @@ class HistoryTable:
         table = self.table
         if epoch_id is not None and table.has_fence(epoch_id):
             return MergeResult(applied=False)
+        # schema-evolution gate (adds / safe widenings; incompatible batches
+        # raise cleanly with nothing committed — same contract as merge)
+        schema = table.evolve_schema(_incoming_history_schema(events))
         snap = table.snapshot()
         key_cols = snap["key_cols"]
-        schema = T.StructType.fromJson(snap["schema"])
         schema_by_name = {f.name: f for f in schema.fields}
         payload_cols = [f.name for f in schema.fields if f.name not in _META]
         bucket = bucket_expr(snap["bucket_key"], snap["num_buckets"])

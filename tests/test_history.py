@@ -301,3 +301,34 @@ def test_expire_versions_retention(spark, events_pdf):
     # idempotent second pass: every remaining valid_to > L → zone maps
     # prove no bucket qualifies → no rewrite at all
     assert h.expire_versions(L) is None
+
+
+def test_history_schema_evolution(spark, events_pdf):
+    """An added payload column evolves the history schema (old versions
+    read NULL); an incompatible type change is rejected atomically."""
+    from battetl_spark.lake.evolution import SchemaCompatibilityError
+
+    h = _new_hist(spark)
+    b1 = events_pdf[events_pdf["lsn"] <= 2000]
+    h.apply(_events_df(spark, b1), epoch_id=0)
+
+    b2 = events_pdf[events_pdf["lsn"] > 2000].copy()
+    b2["score"] = (b2["lsn"] % 97).astype("float64")
+    ev2 = _events_df(spark, b2.drop(columns=["score"])).join(
+        spark.createDataFrame(b2[["lsn", "score"]]), "lsn"
+    )
+    h.apply(ev2, epoch_id=1)
+    hist = h.history()
+    assert "score" in hist.columns
+    got = hist.select("valid_from_lsn", "score").toPandas()
+    assert got[got["valid_from_lsn"] <= 2000]["score"].isna().all()
+    new = got[got["valid_from_lsn"] > 2000]
+    assert (new["score"] == (new["valid_from_lsn"] % 97)).all()
+
+    bad = _events_df(spark, events_pdf[events_pdf["lsn"] <= 100]).withColumn(
+        "score", F.lit("not-a-number")
+    )
+    v = h.table.snapshot()["version"]
+    with pytest.raises(SchemaCompatibilityError):
+        h.apply(bad, epoch_id=2)
+    assert h.table.snapshot()["version"] == v  # nothing committed
