@@ -82,8 +82,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": q_doc_decontaminate,
         "doc_redact_pii": q_doc_redact_pii,
         "doc_repetition": q_doc_repetition,
+        "doc_span_stats": q_doc_span_stats,
+        "doc_span_dedup": q_doc_span_dedup,
+        "doc_tfidf_terms": q_doc_tfidf_terms,
         "doc_mixture_sample": q_doc_mixture_sample,
         "doc_source_cap": q_doc_source_cap,
+        "doc_split_assign": q_doc_split_assign,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_pack_chunks": q_doc_pack_chunks,
         "doc_simhash": q_doc_simhash,

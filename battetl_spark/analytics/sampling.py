@@ -163,3 +163,38 @@ def cap_per_stratum(
     )
     under = tagged.filter(F.col("__over").isNull()).drop("__over")
     return under.unionByName(ranked(tagged.filter("__over").drop("__over")))
+
+
+def assign_split(
+    df: DataFrame,
+    fractions: Mapping[str, float],
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: every row gets exactly one
+    split name, decided by where its ``sample_uniform`` falls among the
+    cumulative fraction thresholds (``fractions`` insertion order; the last
+    split absorbs the rounding remainder so the partition is total).
+
+    Pure map-side column (no shuffle, no RNG state): membership depends
+    only on (seed, id, fractions), so the SAME document lands in the same
+    split on any cluster size, any retry, any engine — the property that
+    keeps eval sets leak-free across pipeline re-runs. Reference analog:
+    none (the reference has no dataset-split stage); LLM-pipeline layer.
+    """
+    names = list(fractions)
+    if not names:
+        raise ValueError("fractions must name at least one split")
+    u = sample_uniform(id_col, seed)
+    # forward WHEN chain: first matching threshold wins, mirroring the
+    # oracle's CASE evaluation order exactly
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += float(fractions[name])
+        clause = (u < F.lit(cum), F.lit(name))
+        expr = F.when(*clause) if expr is None else expr.when(*clause)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, expr)

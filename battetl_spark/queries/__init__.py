@@ -58,6 +58,9 @@ from battetl_spark.queries.text import (  # noqa: F401
     q_doc_decontaminate,
     q_doc_redact_pii,
     q_doc_repetition,
+    q_doc_span_stats,
+    q_doc_span_dedup,
+    q_doc_tfidf_terms,
     q_doc_simhash,
     q_corpus_clean,
     q_corpus_clean_incremental,
@@ -69,6 +72,7 @@ from battetl_spark.queries.sampling import (  # noqa: F401
     q_doc_source_cap,
     q_doc_pack_sequences,
     q_doc_pack_chunks,
+    q_doc_split_assign,
 )
 from battetl_spark.queries.ann import (  # noqa: F401
     q_ann_cosine_topk,

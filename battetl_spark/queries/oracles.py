@@ -8,6 +8,7 @@ sorting columns by name.
 from __future__ import annotations
 
 from battetl_spark.queries import sampling as _Q  # module import, no pkg cycle
+from battetl_spark.queries import text as _QT
 
 
 def _jaccard_pairs_sql(threshold: float) -> str:
@@ -146,6 +147,92 @@ _REPETITION_SQL = r"""
 """
 
 
+def _span_norm_spans_sql(k: int) -> str:
+    """Shared CTE prefix for the exact-substring (k-token span) oracles:
+    normalized word arrays + every rolling span occurrence keyed by the
+    md5 of its text (concat_ws skips the NULLs a clamped slice leaves, so
+    sub-k docs yield one partial span — matching Spark's arrays_zip pad)."""
+    terms = ", ".join(f"w[i+{j}]" for j in range(k))
+    return rf"""
+        WITH norm AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ),
+        spans AS (
+          SELECT doc_id, len(w) AS n_toks, i AS pos,
+                 md5(concat_ws(' ', {terms})) AS h
+          FROM norm,
+               LATERAL unnest(range(1, greatest(len(w) - {k} + 1, 1) + 1)) r(i)
+        ),
+        dup AS (
+          SELECT h FROM spans GROUP BY h HAVING min(doc_id) <> max(doc_id)
+        )"""
+
+
+def _span_stats_sql(k: int) -> str:
+    """Per-doc span-duplication profile; coverage = union of the duplicate
+    [pos, pos+k-1] windows via the classic running-max-end window."""
+    return _span_norm_spans_sql(k) + rf""",
+        marked AS (
+          SELECT s.*, (d.h IS NOT NULL) AS is_dup
+          FROM spans s LEFT JOIN dup d USING (h)
+        ),
+        cov AS (
+          SELECT doc_id, pos,
+                 greatest(0, least(pos + {k} - 1, n_toks)
+                   - greatest(coalesce(max(least(pos + {k} - 1, n_toks))
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0),
+                     pos - 1)) AS add
+          FROM marked WHERE is_dup
+        )
+        SELECT m.doc_id,
+               CAST(any_value(m.n_toks) AS INT) AS n_toks,
+               CAST(count(*) AS INT) AS n_spans,
+               CAST(sum(CASE WHEN m.is_dup THEN 1 ELSE 0 END) AS INT)
+                 AS n_dup_spans,
+               CAST(coalesce(any_value(c.cv), 0) AS INT) AS dup_tokens,
+               round(CAST(coalesce(any_value(c.cv), 0) AS DOUBLE)
+                     / any_value(m.n_toks), 6) AS dup_frac
+        FROM marked m
+        LEFT JOIN (SELECT doc_id, sum(add) AS cv FROM cov GROUP BY doc_id) c
+          USING (doc_id)
+        GROUP BY m.doc_id
+    """
+
+
+def _span_strip_sql(k: int) -> str:
+    """Span-dedup ground truth: drop every token inside a duplicate span
+    window, reassemble the remainder in position order."""
+    return _span_norm_spans_sql(k) + rf""",
+        dupstarts AS (
+          SELECT s.doc_id, s.pos, least(s.pos + {k} - 1, s.n_toks) AS pend
+          FROM spans s JOIN dup d USING (h)
+        ),
+        toks AS (
+          SELECT doc_id, i, w[i] AS tok
+          FROM norm, LATERAL unnest(range(1, len(w) + 1)) r(i)
+        ),
+        kept AS (
+          SELECT t.doc_id, t.i, t.tok FROM toks t
+          WHERE NOT EXISTS (SELECT 1 FROM dupstarts d
+                            WHERE d.doc_id = t.doc_id
+                              AND t.i BETWEEN d.pos AND d.pend)
+        )
+        SELECT n.doc_id,
+               coalesce(kk.clean_text, '') AS clean_text,
+               CAST(coalesce(kk.n_kept, 0) AS INT) AS n_kept
+        FROM norm n
+        LEFT JOIN (SELECT doc_id,
+                          string_agg(tok, ' ' ORDER BY i) AS clean_text,
+                          count(*) AS n_kept
+                   FROM kept GROUP BY doc_id) kk USING (doc_id)
+    """
+
+
 def _redact_pii_sql() -> str:
     """Identical RE2 pattern chain over the identically augmented text."""
     from battetl_spark.analytics.textops import PII_PATTERNS
@@ -182,6 +269,51 @@ def _mixture_sample_sql(weights: dict, budget: float, seed: int = 0) -> str:
         WHERE CAST(('0x' || substring(md5(concat_ws('|', '{int(seed)}',
                   d.doc_id::VARCHAR)), 1, 13)) AS BIGINT)
               / 4503599627370496.0 < r.rate
+    """
+
+
+def _split_assign_sql(fractions: dict, seed: int) -> str:
+    """Bit-identical replay of assign_split: same 52-bit dyadic uniform,
+    same forward CASE threshold order (last split absorbs the remainder)."""
+    u = (f"CAST(('0x' || substring(md5(concat_ws('|', '{int(seed)}', "
+         f"doc_id::VARCHAR)), 1, 13)) AS BIGINT) / 4503599627370496.0")
+    names = list(fractions)
+    cum, whens = 0.0, []
+    for name in names[:-1]:
+        cum += float(fractions[name])
+        whens.append(f"WHEN {u} < {cum!r} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    return f"SELECT doc_id, lang, {case} AS split FROM documents"
+
+
+def _tfidf_sql(top_n: int) -> str:
+    """Bit-identical TF-IDF replay: integer tf/df/N, one exact product and
+    one correctly-rounded divide per score, rank ties broken by term."""
+    return rf"""
+        WITH norm AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest(w) AS term FROM norm),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+               GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*) AS dfq FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT doc_id, term, tf,
+                 CAST(tf AS DOUBLE) * (n + 1.0) / (dfq + 1.0) AS score
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        ),
+        rk AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term ASC) AS rk
+          FROM scored
+        )
+        SELECT doc_id, term, CAST(tf AS INT) AS tf, CAST(rk AS INT) AS rk,
+               round(score, 6) AS score
+        FROM rk WHERE rk <= {top_n}
     """
 
 
@@ -888,11 +1020,15 @@ def oracle_sql() -> dict[str, str]:
             _Q.MIX_WEIGHTS, _Q.MIX_BUDGET, seed=0
         ),
         "doc_source_cap": _source_cap_sql(_Q.SOURCE_CAP),
+        "doc_split_assign": _split_assign_sql(_Q.SPLIT_FRACTIONS, _Q.SPLIT_SEED),
         "doc_pack_sequences": _pack_sequences_sql(_Q.PACK_SEQ_LEN, seed=0),
         "doc_pack_chunks": _pack_chunks_sql(_Q.PACK_SEQ_LEN, seed=0),
         "doc_decontaminate": _decontaminate_sql(3, 97),
         "doc_redact_pii": _redact_pii_sql(),
         "doc_repetition": _REPETITION_SQL,
+        "doc_span_stats": _span_stats_sql(_QT.SPAN_K),
+        "doc_span_dedup": _span_strip_sql(_QT.SPAN_K),
+        "doc_tfidf_terms": _tfidf_sql(_QT.TFIDF_TOP_N),
         "doc_simhash": _simhash_pairs_sql(3),
         "ann_lsh_topk": _ann_lsh_sql(dim=64, num_planes=4, k=10),
     }

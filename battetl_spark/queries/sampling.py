@@ -69,3 +69,18 @@ def q_doc_pack_chunks(spark, sf):
         "n_toks",
         F.concat_ws(" ", F.col("tokens")).alias("chunk_text"),
     )
+
+
+SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+SPLIT_SEED = 7
+
+
+def q_doc_split_assign(spark, sf):
+    """Deterministic train/val/test assignment: one split per document by
+    the md5-derived 52-bit uniform against cumulative fraction thresholds.
+    Map-only (zero shuffle); the same doc lands in the same split on any
+    cluster size / retry / engine — the leak-free-eval-set property."""
+    from battetl_spark.analytics.sampling import assign_split
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    return assign_split(docs, SPLIT_FRACTIONS, seed=SPLIT_SEED)

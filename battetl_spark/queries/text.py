@@ -344,3 +344,39 @@ def q_doc_ngram_incremental(spark, sf):
         )
         out = pairs if out is None else out.unionByName(pairs)
     return out
+
+
+SPAN_K = 8
+
+
+def q_doc_span_stats(spark, sf):
+    """Exact substring (k-token span) duplication profile per document —
+    the Lee et al. 2022 span-granular contamination signal the doc-level
+    near-dup family can't see. One span explode, one hash groupBy, one
+    doc fold; coverage is an in-row interval-merge aggregate."""
+    from battetl_spark.analytics.spans import span_dedup_stats
+
+    return span_dedup_stats(_t(spark, sf, "documents"), SPAN_K)
+
+
+def q_doc_span_dedup(spark, sf):
+    """Span-dedup the corpus: strip every token covered by a cross-document
+    duplicate SPAN_K-token span, keeping the unique remainder in document
+    order (both occurrences stripped). Kept text reassembles from slice
+    views over the inverted duplicate islands — no per-token search."""
+    from battetl_spark.analytics.spans import strip_duplicated_spans
+
+    return strip_duplicated_spans(_t(spark, sf, "documents"), SPAN_K)
+
+
+TFIDF_TOP_N = 5
+
+
+def q_doc_tfidf_terms(spark, sf):
+    """Top-5 TF-IDF terms per document (rational idf (N+1)/(df+1) — every
+    arithmetic step IEEE-exact or correctly rounded, so ranking and scores
+    reproduce bit-for-bit in DuckDB). Two partial-aggregated shuffles +
+    one broadcast of the corpus size + a per-doc ranking window."""
+    from battetl_spark.analytics.terms import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf, "documents"), TFIDF_TOP_N)

@@ -114,3 +114,36 @@ def test_cap_prefilter_windows_only_over_cap_rows(spark):
     assert got["lang"].nunique() == 101
     # giant keeps its top-50 by n_chars
     assert sorted(got[got["lang"] == "giant"]["doc_id"]) == list(range(250, 300))
+
+
+def test_assign_split_total_deterministic_partition(spark):
+    """Every row gets exactly one split; membership is a pure function of
+    (seed, id) — re-evaluation and re-partitioning cannot move a doc —
+    and the realized sizes track the requested fractions."""
+    from battetl_spark.analytics.sampling import assign_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = assign_split(df, fr, seed=7)
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(a) == 2000 and set(a.values()) <= set(fr)
+    b = {r["doc_id"]: r["split"]
+         for r in assign_split(df.repartition(13), fr, seed=7).collect()}
+    assert a == b
+    import collections
+    c = collections.Counter(a.values())
+    assert abs(c["train"] / 2000 - 0.8) < 0.05
+    assert abs(c["val"] / 2000 - 0.1) < 0.03
+    # different seed reshuffles membership
+    c2 = {r["doc_id"]: r["split"]
+          for r in assign_split(df, fr, seed=8).collect()}
+    assert c2 != a
+
+
+def test_assign_split_is_map_only(spark):
+    from battetl_spark.analytics.sampling import assign_split
+
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    plan = assign_split(df, {"a": 0.5, "b": 0.5})._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan

@@ -390,3 +390,40 @@ pd.testing.assert_frame_equal(
     _h.state_as_of(_L).orderBy("conv_id", "turn_idx").toPandas(), _pre)
 assert _h.expire_versions(_L) is None
 print("history-retention surface: OK")
+
+# exact-substring (k-token span) dedup surface (round-5 continuation):
+# stats + strip vs their DuckDB oracles, plus the stripped corpus actually
+# removing the duplicated mass the stats report
+for _q in ("doc_span_stats", "doc_span_dedup"):
+    _qs = E.queries()[_q](spark, sf).toPandas()
+    _es = con.sql(E.oracle_sql()[_q]).df()
+    _cs = sorted(_qs.columns)
+    assert _cs == sorted(_es.columns), _q
+    assert (_qs[_cs].sort_values(_cs).reset_index(drop=True).astype(str)
+            .equals(_es[_cs].sort_values(_cs).reset_index(drop=True).astype(str))), _q
+_st = E.queries()["doc_span_stats"](spark, sf).toPandas().set_index("doc_id")
+_sp = E.queries()["doc_span_dedup"](spark, sf).toPandas().set_index("doc_id")
+assert ((_st["n_toks"] - _st["dup_tokens"]) == _sp.loc[_st.index, "n_kept"]).all()
+print("span-dedup surface: OK")
+
+# deterministic split assignment (round-5 continuation): oracle equality +
+# the partition being total over the corpus
+_qs = E.queries()["doc_split_assign"](spark, sf).toPandas()
+_es = con.sql(E.oracle_sql()["doc_split_assign"]).df()
+_cs = sorted(_qs.columns)
+assert _cs == sorted(_es.columns)
+assert (_qs[_cs].sort_values(_cs).reset_index(drop=True).astype(str)
+        .equals(_es[_cs].sort_values(_cs).reset_index(drop=True).astype(str)))
+assert len(_qs) == con.sql("SELECT count(*) FROM documents").fetchone()[0]
+print("split-assign surface: OK")
+
+# TF-IDF top terms (round-5 continuation): bit-exact rational-idf ranking
+# vs DuckDB, and exactly top_n rows per ranked document
+_qt = E.queries()["doc_tfidf_terms"](spark, sf).toPandas()
+_et = con.sql(E.oracle_sql()["doc_tfidf_terms"]).df()
+_ct = sorted(_qt.columns)
+assert _ct == sorted(_et.columns)
+assert (_qt[_ct].sort_values(_ct).reset_index(drop=True).astype(str)
+        .equals(_et[_ct].sort_values(_ct).reset_index(drop=True).astype(str)))
+assert (_qt.groupby("doc_id")["rk"].max() <= 5).all()
+print("tfidf surface: OK")
