@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_count": q_range_join_count,
         "time_bucket_rollup": q_time_bucket_rollup,
         "sessionize": q_sessionize,
+        "event_funnel": q_event_funnel,
+        "doc_corpus_profile": q_doc_corpus_profile,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
@@ -84,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_span_stats": q_doc_span_stats,
         "doc_span_dedup": q_doc_span_dedup,
+        "doc_span_incremental": q_doc_span_incremental,
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "doc_mixture_sample": q_doc_mixture_sample,
         "doc_source_cap": q_doc_source_cap,

@@ -713,3 +713,122 @@ class NgramIndex:
         pairs.count()  # materialize BEFORE the index mutates
         self.table.append(batch_sh.select("doc_id", "sh"))
         return pairs
+
+
+SPAN_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("span_md5", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("pos", T.IntegerType(), False),
+    ]
+)
+
+
+class SpanIndex:
+    """Persisted occurrence store for incremental exact-substring (k-token
+    span) dedup — the span-granular member of the incremental dedup family
+    (see ``analytics.spans`` for the batch operator and its semantics).
+
+    ONE occurrence table ``(span_md5, doc_id, pos)`` is the whole state:
+    a span is cross-doc-duplicated iff its occurrences carry >= 2 distinct
+    doc_ids, and "was it already duplicated before this batch" is the same
+    predicate over the pre-batch index — nothing else to keep consistent.
+
+    Exactly-once contract (the family invariant, span-granular): every
+    duplicated OCCURRENCE ``(doc_id, pos)`` is emitted by exactly one
+    batch —
+
+    - by its own ingesting batch, if its span is already duplicated (or
+      becomes duplicated within / at that batch), else
+    - by the LATER batch whose arrival first makes the span cross-doc
+      (which back-emits the stored old occurrences of that span).
+
+    Duplicate status is MONOTONE under insert-only input (a span never
+    loses a distinct doc), so the transition happens at most once and the
+    union of per-batch outputs over ANY batch partitioning equals the
+    batch operator's duplicate-occurrence set (``span_dedup_stats``'s
+    marked rows). Re-ingesting an already-indexed doc anti-joins to a
+    no-op. Pinned by ``test_span_incremental_equals_batch`` and the
+    ``doc_span_incremental`` oracle query.
+
+    Scale shape: the index is bucketed on ``span_md5``, the batch side is
+    O(batch tokens), and the per-span state aggregate runs over the index
+    SEMI-JOINED to the batch's span hashes — a batch touching B distinct
+    spans reads only their buckets' occurrence rows into the aggregate;
+    min/max fold map-side, so a corpus-wide boilerplate span costs two
+    longs per partition, never a skewed reduce.
+    """
+
+    def __init__(self, spark: SparkSession, table: LakeTable):
+        self.spark = spark
+        self.table = table
+        cfg = json.loads(table.snapshot()["properties"]["span_index"])
+        self.span_k = int(cfg["span_k"])
+
+    @classmethod
+    def create(
+        cls, spark: SparkSession, path: str, span_k: int = 8,
+        num_buckets: int = 16,
+    ) -> "SpanIndex":
+        return cls(
+            spark,
+            LakeTable.create(
+                spark, path, SPAN_INDEX_SCHEMA,
+                num_buckets=num_buckets, bucket_key="span_md5",
+                properties={"span_index": json.dumps({"span_k": int(span_k)})},
+            ),
+        )
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "SpanIndex":
+        return cls(spark, LakeTable.load(spark, path))
+
+    def add_batch(
+        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> DataFrame:
+        """Ingest one batch; returns the ``(doc_id, pos)`` span occurrences
+        newly known to be duplicated — the batch's own occurrences whose
+        span is (or just became) cross-doc, plus the back-emitted stored
+        occurrences of spans this batch turned duplicated."""
+        from battetl_spark.analytics.spans import span_occurrences
+
+        idx = self.table.scan()
+        new_docs = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        ).join(idx.select("doc_id"), "doc_id", "left_anti")
+        b = _track(
+            span_occurrences(new_docs, self.span_k)
+            .select("span_md5", "doc_id", F.col("pos").cast("int").alias("pos"))
+        )
+        # stored occurrences of spans this batch touches (semi-join prune)
+        idx_hit = _track(
+            idx.join(b.select("span_md5").distinct(), "span_md5", "leftsemi")
+        )
+        old_state = idx_hit.groupBy("span_md5").agg(
+            F.min("doc_id").alias("__omin"), F.max("doc_id").alias("__omax")
+        )
+        new_state = b.groupBy("span_md5").agg(
+            F.min("doc_id").alias("__nmin"), F.max("doc_id").alias("__nmax")
+        )
+        # was_dup is NULL for spans absent from the index (no old rows) —
+        # downstream coalesces it to False; least/greatest skip NULLs, so
+        # dup_now spans index ∪ batch correctly in every combination
+        state = new_state.join(old_state, "span_md5", "left").select(
+            "span_md5",
+            (F.col("__omin") != F.col("__omax")).alias("was_dup"),
+            (F.least("__omin", "__nmin") != F.greatest("__omax", "__nmax"))
+            .alias("dup_now"),
+        )
+        dup_spans = state.filter("dup_now").select("span_md5", "was_dup")
+        emit_new = b.join(dup_spans.select("span_md5"), "span_md5", "leftsemi")
+        turned = dup_spans.filter(~F.coalesce("was_dup", F.lit(False))).select(
+            "span_md5"
+        )
+        emit_old = idx_hit.join(turned, "span_md5", "leftsemi")
+        out = _track(
+            emit_new.unionByName(emit_old).select("doc_id", "pos")
+        )
+        out.count()  # materialize BEFORE the index mutates
+        self.table.append(b)
+        return out

@@ -84,10 +84,11 @@ def _stat_jsonable(v):
     return None
 
 
-def _harvest_file_stats(path: str, cols: list[str]) -> dict:
-    """{col: {"min": v, "max": v}} aggregated over a parquet file's row-group
-    footer statistics. A column missing stats in ANY row group is dropped
-    entirely (conservative: no stats → file is never skipped). Runs in
+def _harvest_file_stats(path: str, cols: list[str]) -> tuple[dict, int]:
+    """({col: {"min": v, "max": v}}, num_rows) aggregated over a parquet
+    file's row-group footer statistics. A column missing stats in ANY row
+    group is dropped entirely (conservative: no stats → file is never
+    skipped); the exact row count always comes from the footer. Runs in
     EXECUTOR tasks (see ``_harvest_stats_job``) — the write commit ships only
     the metadata-sized stats dicts back to the driver, exactly as Iceberg
     write tasks return per-file stats in their commit messages."""
@@ -119,7 +120,7 @@ def _harvest_file_stats(path: str, cols: list[str]) -> dict:
             else:
                 cur["min"] = min(cur["min"], mn)
                 cur["max"] = max(cur["max"], mx)
-    return agg
+    return agg, int(md.num_rows)
 
 
 def _harvest_stats_job(spark: SparkSession, paths: list[str], cols: list[str]) -> dict:
@@ -573,6 +574,49 @@ class LakeTable:
     def to_df(self) -> DataFrame:
         return self.scan()
 
+    def count_rows(self, _debug: bool = False):
+        """Exact VISIBLE row count, metadata-first (the Iceberg/Delta
+        count-star pushdown): per-file footer row counts were harvested at
+        write time (``nrows``), so a file provably free of tombstones — its
+        ``_deleted`` zone map shows no True, or the table has no tombstone
+        column at all — contributes without being opened. Only files that
+        MIGHT hold tombstones (or predate nrows harvesting) are scanned,
+        and only delta-bearing buckets pay a resolve. On a 100-TB table
+        count(*) is then O(metadata) + O(the exceptional files), not a
+        full scan. Returns an int; ``_debug`` returns
+        (total, n_meta_files, n_slow_files, n_slow_buckets) for tests."""
+        snap = self._hydrate(self.snapshot())
+        has_tombstones = DELETED_COL in {f.name for f in self.schema.fields}
+        total = 0
+        n_meta = 0
+        slow_buckets: list[int] = []
+        slow_paths: list[str] = []
+        for b, entries in snap["files"].items():
+            if any(e.get("delta") for e in entries):
+                slow_buckets.append(int(b))
+                continue
+            for e in entries:
+                nr = e.get("nrows")
+                st = (e.get("stats") or {}).get(DELETED_COL)
+                clean = (not has_tombstones) or (
+                    st is not None and st["max"] is False
+                )
+                if nr is not None and clean:
+                    total += int(nr)
+                    n_meta += 1
+                else:
+                    slow_paths.append(os.path.join(self.path, e["path"]))
+        if slow_buckets:
+            total += self.scan(slow_buckets, snap).count()
+        if slow_paths:
+            df = self.spark.read.parquet(*slow_paths)
+            if has_tombstones and DELETED_COL in df.columns:
+                df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+            total += df.count()
+        if _debug:
+            return total, n_meta, len(slow_paths), len(slow_buckets)
+        return total
+
     # ----------------------------------------------------------------- write
     def _write_data(
         self,
@@ -581,6 +625,7 @@ class LakeTable:
         files_per_bucket: int = 4,
         shuffle: bool = True,
         cluster_by: str | None = None,
+        cluster_sort: list | None = None,
         max_records_per_file: int | None = None,
     ) -> dict[str, list[str]]:
         """Write rows (must carry BUCKET_COL) into a fresh commit dir,
@@ -607,12 +652,19 @@ class LakeTable:
         # child, executing the whole upstream merge pipeline twice; measured
         # 17% slower). Hash by bucket alone idles ~40% of cores (collisions);
         # hash by (bucket, full key) writes n_out × B tiny files.
-        if cluster_by:
+        lead_sort: list = []  # Column exprs sorted ahead of sort_cols
+        if cluster_by or cluster_sort:
+            # clustered / Z-ordered compaction: one task per bucket sorted
+            # by the cluster key (a plain column, or a Morton expression —
+            # ``cluster_sort`` — that never materializes into the file)
             n_out = target_partitions or max(
                 1, df.sparkSession.sparkContext.defaultParallelism * 2
             )
             w = df.repartition(n_out, F.col(BUCKET_COL))
-            sort_cols = [cluster_by] + [c for c in sort_cols if c != cluster_by]
+            if cluster_sort:
+                lead_sort = list(cluster_sort)
+            else:
+                sort_cols = [cluster_by] + [c for c in sort_cols if c != cluster_by]
         elif shuffle:
             n_out = target_partitions or max(
                 1, df.sparkSession.sparkContext.defaultParallelism * 2
@@ -630,8 +682,8 @@ class LakeTable:
             # rebucket: child bucket is a refinement of the parent the task
             # read) — partitionBy fans each task into its buckets' dirs
             w = df
-        if sort_cols:
-            w = w.sortWithinPartitions(BUCKET_COL, *sort_cols)
+        if sort_cols or lead_sort:
+            w = w.sortWithinPartitions(BUCKET_COL, *lead_sort, *sort_cols)
         writer = w.write.partitionBy(BUCKET_COL).mode("overwrite")
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
@@ -640,15 +692,19 @@ class LakeTable:
         paths = glob.glob(os.path.join(out, f"{BUCKET_COL}=*", "*.parquet"))
         # zone-map harvest runs as ONE distributed job over the written file
         # paths (executor-side footer reads); only the stats dicts come back
-        all_stats: dict[str, dict] = {}
+        all_stats: dict[str, tuple] = {}
         if stat_cols and paths:
             all_stats = _harvest_stats_job(self.spark, paths, stat_cols)
         files: dict[str, list[dict]] = {}
         for p in paths:
             b = os.path.basename(os.path.dirname(p)).split("=", 1)[1]
             entry = {"path": os.path.relpath(p, self.path)}
-            if all_stats.get(p):
-                entry["stats"] = all_stats[p]
+            harvested = all_stats.get(p)
+            if harvested is not None:
+                stats, nrows = harvested
+                if stats:
+                    entry["stats"] = stats
+                entry["nrows"] = nrows
             files.setdefault(b, []).append(entry)
         return files
 
@@ -671,6 +727,7 @@ class LakeTable:
         files_per_bucket: int = 4,
         base_snapshot: dict | None = None,
         cluster_by: str | None = None,
+        cluster_sort: list | None = None,
         max_records_per_file: int | None = None,
     ) -> dict | None:
         """Copy-on-write commit: the given buckets' contents become exactly
@@ -696,6 +753,7 @@ class LakeTable:
             target_partitions,
             files_per_bucket,
             cluster_by=cluster_by,
+            cluster_sort=cluster_sort,
             max_records_per_file=max_records_per_file,
         )
 
@@ -1005,7 +1063,7 @@ class LakeTable:
     def compact(
         self,
         min_files_per_bucket: int = 4,
-        cluster_by: str | None = None,
+        cluster_by: str | list[str] | None = None,
         files_per_bucket: int = 1,
     ) -> dict | None:
         """Rewrite buckets whose file count exceeded the threshold into one
@@ -1024,8 +1082,30 @@ class LakeTable:
         whose range overlaps instead of every file of every qualifying
         bucket. ``cluster_by`` is persisted into the ``stats_cols`` table
         property first, so this and every FUTURE write harvests its
-        min/max."""
+        min/max.
+
+        A LIST of 2+ columns Z-ORDERS instead (Delta OPTIMIZE ZORDER BY):
+        each crowded bucket is rewritten sorted by the Morton interleave
+        of the columns' quantized ranks (``lake.zorder``), so its files
+        are simultaneously range-tight in EVERY listed dimension and the
+        existing per-column zone maps skip on any of them. Quantization
+        ranges come from one partial-aggregated pass over the rows being
+        rewritten — no sampling, the pipeline executes once."""
+        zorder_cols: list[str] | None = None
+        if isinstance(cluster_by, (list, tuple)):
+            if len(cluster_by) == 1:
+                cluster_by = cluster_by[0]
+            else:
+                zorder_cols = [str(c) for c in cluster_by]
+                cluster_by = None
         snap = self.snapshot()
+        if zorder_cols:
+            from battetl_spark.lake.zorder import check_zorderable
+
+            check_zorderable(self.schema, zorder_cols)
+            for c in zorder_cols:
+                self._ensure_stats_col(c)
+            snap = self.snapshot()
         if cluster_by:
             if cluster_by not in {f["name"] for f in snap["schema"]["fields"]}:
                 raise ValueError(f"cluster_by column {cluster_by!r} not in schema")
@@ -1043,7 +1123,7 @@ class LakeTable:
         # unsalted, one partition per bucket → one output file per bucket;
         # base_snapshot makes a racing merge abort THIS rewrite (CommitConflict)
         # instead of resurrecting pre-merge rows
-        if not cluster_by:
+        if not cluster_by and not zorder_cols:
             return self.replace_buckets(
                 rows, crowded, target_partitions=len(crowded), files_per_bucket=1,
                 base_snapshot=snap,
@@ -1053,12 +1133,26 @@ class LakeTable:
             mx = rows.groupBy(BUCKET_COL).count().agg(F.max("count")).first()[0]
             if mx is None:
                 return None
+            cluster_sort = None
+            if zorder_cols:
+                from battetl_spark.lake.zorder import column_ranges, zorder_key
+
+                mins, maxs = column_ranges(rows, zorder_cols)
+                types = [
+                    f.dataType.simpleString()
+                    for c in zorder_cols
+                    for f in rows.schema.fields if f.name == c
+                ]
+                cluster_sort = [
+                    zorder_key(zorder_cols, mins, maxs, types=types)
+                ]
             return self.replace_buckets(
                 rows,
                 crowded,
                 target_partitions=len(crowded),
                 base_snapshot=snap,
                 cluster_by=cluster_by,
+                cluster_sort=cluster_sort,
                 max_records_per_file=-(-int(mx) // max(1, files_per_bucket)),
             )
         finally:

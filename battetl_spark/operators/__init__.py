@@ -1,5 +1,6 @@
 from battetl_spark.operators.relational import (  # noqa: F401
     asof_join,
+    funnel,
     range_join_count,
     sessionize,
     time_bucket_rollup,

@@ -147,3 +147,64 @@ def sessionize(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn("session_id", F.sum(new_sess).over(run) - 1)
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    horizon_s: int | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_unix",
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the earliest completion chain
+    ``steps[0] < steps[1] < ...`` (strictly increasing ``ts_col``), anchored
+    at the user's EARLIEST occurrence of ``steps[0]``; ``horizon_s`` bounds
+    every later step to ``t1 + horizon_s`` (standard anchored-window funnel
+    — a later, faster restart of step 1 is not considered; documented).
+
+    Returns one row per user who reached step 1: ``user, depth,
+    t_1..t_len(steps)`` (NULL past ``depth``). Greedy-earliest equals
+    min-after-previous, so the whole funnel is len(steps) chained
+    min-aggregates joined on the user key — every shuffle is on the same
+    key (co-partitioned, AQE-coalesced), partial-aggregated map-side, and
+    the events frame is filtered to the step types first (isin pushes to
+    the scan). No per-user event collection, no window over raw events.
+
+    Reference analog: none (no behavioral analytics in the reference ETL);
+    events-table analytics family of the build brief.
+    """
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    e = events.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("__u"), F.col(type_col).alias("__t"),
+        F.col(ts_col).alias("__ts"),
+    )
+    cur = (
+        e.filter(F.col("__t") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__ts").alias("t_1"))
+    )
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = e.filter(F.col("__t") == s).select(
+            "__u", F.col("__ts").alias("__cand")
+        )
+        cond = F.col("__cand") > F.col(f"t_{i - 1}")
+        if horizon_s is not None:
+            cond = cond & (F.col("__cand") <= F.col("t_1") + F.lit(horizon_s))
+        step_t = (
+            nxt.join(cur.select("__u", "t_1", f"t_{i - 1}"), "__u")
+            .filter(cond)
+            .groupBy("__u")
+            .agg(F.min("__cand").alias(f"t_{i}"))
+        )
+        cur = cur.join(step_t, "__u", "left")
+    depth = sum(
+        (F.col(f"t_{i}").isNotNull().cast("int") for i in range(2, len(steps) + 1)),
+        F.lit(1),
+    )
+    return cur.select(
+        F.col("__u").alias(user_col),
+        depth.cast("int").alias("depth"),
+        *[F.col(f"t_{i}") for i in range(1, len(steps) + 1)],
+    )

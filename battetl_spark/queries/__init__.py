@@ -40,6 +40,8 @@ from battetl_spark.queries.relational import (  # noqa: F401
     q_range_join_count,
     q_time_bucket_rollup,
     q_sessionize,
+    q_event_funnel,
+    q_doc_corpus_profile,
 )
 from battetl_spark.queries.text import (  # noqa: F401
     q_doc_exact_dedup,
@@ -60,6 +62,7 @@ from battetl_spark.queries.text import (  # noqa: F401
     q_doc_repetition,
     q_doc_span_stats,
     q_doc_span_dedup,
+    q_doc_span_incremental,
     q_doc_tfidf_terms,
     q_doc_simhash,
     q_corpus_clean,

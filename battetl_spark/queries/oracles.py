@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from battetl_spark.queries import sampling as _Q  # module import, no pkg cycle
 from battetl_spark.queries import text as _QT
+from battetl_spark.queries import relational as _QR
 
 
 def _jaccard_pairs_sql(threshold: float) -> str:
@@ -171,6 +172,15 @@ def _span_norm_spans_sql(k: int) -> str:
         )"""
 
 
+def _span_dup_occurrences_sql(k: int) -> str:
+    """Ground truth for the incremental span index: every (doc, pos)
+    occurrence whose span appears in >= 2 distinct documents."""
+    return _span_norm_spans_sql(k) + """
+        SELECT s.doc_id, CAST(s.pos AS INT) AS pos
+        FROM spans s JOIN dup d USING (h)
+    """
+
+
 def _span_stats_sql(k: int) -> str:
     """Per-doc span-duplication profile; coverage = union of the duplicate
     [pos, pos+k-1] windows via the classic running-max-end window."""
@@ -315,6 +325,46 @@ def _tfidf_sql(top_n: int) -> str:
                round(score, 6) AS score
         FROM rk WHERE rk <= {top_n}
     """
+
+
+def _funnel_sql(steps: list, horizon_s: int) -> str:
+    """Anchored-window ordered funnel: chained min-after-previous aggregates
+    (greedy-earliest == earliest completion), identical shape to the Spark
+    operator."""
+    s1, s2, s3 = steps
+    return f"""
+        WITH e AS (
+          SELECT user_id, event_type,
+                 floor(epoch(ts))::BIGINT AS ts_unix
+          FROM events WHERE event_type IN ('{s1}', '{s2}', '{s3}')
+        ),
+        f1 AS (SELECT user_id, min(ts_unix) AS t_1 FROM e
+               WHERE event_type = '{s1}' GROUP BY user_id),
+        f2 AS (SELECT e.user_id, min(ts_unix) AS t_2
+               FROM e JOIN f1 USING (user_id)
+               WHERE event_type = '{s2}' AND ts_unix > t_1
+                 AND ts_unix <= t_1 + {int(horizon_s)}
+               GROUP BY e.user_id),
+        f3 AS (SELECT e.user_id, min(ts_unix) AS t_3
+               FROM e JOIN f1 USING (user_id) JOIN f2 USING (user_id)
+               WHERE event_type = '{s3}' AND ts_unix > t_2
+                 AND ts_unix <= t_1 + {int(horizon_s)}
+               GROUP BY e.user_id)
+        SELECT f1.user_id,
+               CAST(1 + (t_2 IS NOT NULL)::INT + (t_3 IS NOT NULL)::INT
+                    AS INT) AS depth,
+               t_1, t_2, t_3
+        FROM f1 LEFT JOIN f2 USING (user_id) LEFT JOIN f3 USING (user_id)
+    """
+
+
+_CORPUS_PROFILE_SQL = """
+    SELECT lang, source,
+           CAST(grouping(lang, source) AS BIGINT) AS gid,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY CUBE (lang, source)
+"""
 
 
 def _pack_sequences_sql(seq_len: int, seed: int = 0) -> str:
@@ -1028,6 +1078,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": _REPETITION_SQL,
         "doc_span_stats": _span_stats_sql(_QT.SPAN_K),
         "doc_span_dedup": _span_strip_sql(_QT.SPAN_K),
+        "doc_span_incremental": _span_dup_occurrences_sql(_QT.SPAN_K),
+        "event_funnel": _funnel_sql(_QR.FUNNEL_STEPS, _QR.FUNNEL_HORIZON_S),
+        "doc_corpus_profile": _CORPUS_PROFILE_SQL,
         "doc_tfidf_terms": _tfidf_sql(_QT.TFIDF_TOP_N),
         "doc_simhash": _simhash_pairs_sql(3),
         "ann_lsh_topk": _ann_lsh_sql(dim=64, num_planes=4, k=10),

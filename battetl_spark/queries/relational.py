@@ -65,3 +65,38 @@ def q_sessionize(spark, sf):
         (F.max("session_id") + 1).alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
+
+
+FUNNEL_STEPS = ["signup", "view", "purchase"]
+FUNNEL_HORIZON_S = 7 * 24 * 3600
+
+
+def q_event_funnel(spark, sf):
+    """Anchored-window ordered funnel signup -> view -> purchase per user:
+    len(steps) chained min-aggregates all keyed on user_id (co-partitioned,
+    partial-aggregated; the step-type isin pushes to the parquet scan) —
+    no per-user event collection, no raw-event window."""
+    from battetl_spark.operators import funnel
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type",
+        F.unix_timestamp("ts").alias("ts_unix"),
+    )
+    return funnel(ev, FUNNEL_STEPS, horizon_s=FUNNEL_HORIZON_S)
+
+
+def q_doc_corpus_profile(spark, sf):
+    """Corpus mixture profile: doc counts and character mass for every
+    (lang, source) combination PLUS all rollup margins in one pass —
+    Spark's CUBE grouping sets (partial-aggregated; one shuffle regardless
+    of how many grouping sets). gid disambiguates aggregated-out NULLs."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+        .select("lang", "source", "gid", "n_docs", "chars")
+    )

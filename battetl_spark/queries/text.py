@@ -380,3 +380,24 @@ def q_doc_tfidf_terms(spark, sf):
     from battetl_spark.analytics.terms import tfidf_top_terms
 
     return tfidf_top_terms(_t(spark, sf, "documents"), TFIDF_TOP_N)
+
+
+def q_doc_span_incremental(spark, sf):
+    """Incremental exact-substring dedup against a persisted occurrence
+    index (SpanIndex): three mod-3 batches ingested in a shuffled order;
+    duplicate status is monotone under insert-only input and transitions
+    back-emit stored occurrences, so the per-batch union equals the batch
+    operator's duplicate-occurrence set under ANY batch partitioning."""
+    import tempfile
+
+    from battetl_spark.analytics.sig_index import SpanIndex
+
+    docs = _t(spark, sf, "documents")
+    idx = SpanIndex.create(
+        spark, tempfile.mkdtemp(prefix="sp_incr_") + "/idx", span_k=SPAN_K
+    )
+    out = None
+    for i in (1, 2, 0):
+        o = idx.add_batch(docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i))
+        out = o if out is None else out.unionByName(o)
+    return out

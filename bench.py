@@ -106,6 +106,9 @@ ANALYTIC_QUERIES = [
     "doc_repetition",
     "doc_span_stats",
     "doc_span_dedup",
+    "doc_span_incremental",
+    "event_funnel",
+    "doc_corpus_profile",
     "doc_tfidf_terms",
     "doc_split_assign",
     "doc_pack_sequences",
@@ -195,7 +198,9 @@ def main():
     added = {"cdc_merge_replay_mor", "doc_minhash_incremental",
          "corpus_clean_incremental", "emb_near_dup_incremental",
          "doc_dup_clusters", "doc_decontaminate", "doc_repetition",
-         "doc_span_stats", "doc_span_dedup", "doc_tfidf_terms", "doc_split_assign",
+         "doc_span_stats", "doc_span_dedup", "doc_span_incremental",
+         "event_funnel", "doc_corpus_profile",
+         "doc_tfidf_terms", "doc_split_assign",
          "cdc_history", "cdc_asof_state", "doc_pack_sequences", "doc_pack_chunks"}
     total = round(sum(v for k, v in timings.items() if k not in added), 3)
     print(

@@ -538,3 +538,84 @@ def test_clustered_compaction_persists_stats_property(spark, tmp_path):
     got = t.scan().toPandas()
     want = FX.table_rows_df(spark, base).toPandas()
     assert_pdf_equal(got[ALL], want[ALL], ["conv_id", "turn_idx"])
+
+
+def test_zorder_compaction_skips_on_both_dimensions(spark, tmp_path):
+    """compact(cluster_by=[ts, turn_idx]) Z-orders each crowded bucket:
+    after it, a narrow scan on EITHER dimension opens strictly fewer files
+    (single-column clustering only ever helps its own column), with
+    byte-identical results; string columns are refused."""
+    import datetime
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_TABLE_SCHEMA,
+                         num_buckets=2, key_cols=KEY_COLS, sort_cols=KEY_COLS)
+    base = FX.make_transcripts(seed=77, n_convs=120, max_turns=4)
+    pdf = base.reset_index(drop=True).copy()
+    pdf["_last_lsn"] = np.arange(1, len(pdf) + 1, dtype=np.int64)
+    pdf["_deleted"] = False
+    n = len(pdf)
+    # two INDEPENDENT dimensions, both uncorrelated with the key salt
+    pdf["ts"] = pd.Timestamp("2026-01-01") + pd.to_timedelta(
+        (np.arange(n) * 7919) % n, "h"
+    )
+    pdf["turn_idx"] = ((np.arange(n) * 104729) % 1000).astype(np.int32)
+    cols = [f.name for f in TRANSCRIPT_TABLE_SCHEMA.fields]
+    t.append(spark.createDataFrame(pdf[cols], TRANSCRIPT_TABLE_SCHEMA))
+
+    f_ts = [("ts", "<", datetime.datetime(2026, 1, 2))]
+    f_ti = [("turn_idx", "<", 120)]
+    exp_ts = t.scan(filters=f_ts).toPandas()
+    exp_ti = t.scan(filters=f_ti).toPandas()
+
+    assert t.compact(min_files_per_bucket=1, cluster_by=["ts", "turn_idx"],
+                     files_per_bucket=8) is not None
+    snap = t.snapshot()
+    props = snap["properties"]["stats_cols"]
+    assert "turn_idx" in props  # ts is implicit, turn_idx persisted
+    total = len(t.scan().inputFiles())
+    got_ts = t.scan(filters=f_ts)
+    got_ti = t.scan(filters=f_ti)
+    assert 0 < len(got_ts.inputFiles()) < total
+    assert 0 < len(got_ti.inputFiles()) < total
+    key = ["conv_id", "turn_idx", "_last_lsn"]
+    assert_pdf_equal(got_ts.toPandas(), exp_ts, key)
+    assert_pdf_equal(got_ti.toPandas(), exp_ti, key)
+
+    with pytest.raises(ValueError, match="Z-order"):
+        t.compact(min_files_per_bucket=1, cluster_by=["ts", "role"])
+    # a single-element list degrades to plain range clustering
+    assert t.compact(min_files_per_bucket=1, cluster_by=["ts"],
+                     files_per_bucket=4) is not None
+
+
+def test_count_rows_metadata_fast_path(spark, tmp_path):
+    """count_rows == scan().count() in every table state, and files proved
+    tombstone-free by their zone maps are counted from footer metadata
+    (never opened); tombstone-bearing or delta files fall back to a scan
+    of ONLY those files/buckets."""
+    from battetl_spark.cdc import merge_apply
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_TABLE_SCHEMA,
+                         num_buckets=2, key_cols=KEY_COLS, sort_cols=KEY_COLS)
+    ev = FX.make_change_events(seed=5, n_events=400, n_convs=30, max_turns=5)
+    half = len(ev) // 2
+    merge_apply(t, FX.change_events_df(spark, ev.iloc[:half].reset_index(drop=True)),
+                epoch_id=1)
+    total, n_meta, n_slow, n_slow_b = t.count_rows(_debug=True)
+    assert total == t.scan().count()
+    if "d" in set(ev.iloc[:half]["op"]):
+        assert n_slow + n_slow_b > 0  # tombstones force some slow counting
+    # clean append-only table: pure metadata count, zero files opened
+    t2 = LakeTable.create(spark, str(tmp_path / "t2"), TRANSCRIPT_TABLE_SCHEMA,
+                          num_buckets=2, key_cols=KEY_COLS, sort_cols=KEY_COLS)
+    base = FX.make_transcripts(seed=6, n_convs=25, max_turns=4)
+    t2.append(FX.table_rows_df(spark, base))
+    total2, n_meta2, n_slow2, n_slow_b2 = t2.count_rows(_debug=True)
+    assert total2 == t2.scan().count() == len(base)
+    assert n_slow2 == 0 and n_slow_b2 == 0 and n_meta2 > 0
+    # MOR deltas: delta-bearing buckets resolve, result still exact
+    merge_apply(t, FX.change_events_df(spark, ev.iloc[half:].reset_index(drop=True)),
+                epoch_id=2, mode="mor")
+    total3, _, _, n_slow_b3 = t.count_rows(_debug=True)
+    assert total3 == t.scan().count()
+    assert n_slow_b3 > 0

@@ -74,3 +74,57 @@ def test_sessionize(spark):
     assert sess[("u", "2024-01-01 12:30:00")] == 1  # 2h gap → new session
     assert sess[("u", "2024-01-01 12:40:00")] == 1
     assert sess[("w", "2024-01-01 09:00:00")] == 0
+
+
+def test_funnel_semantics(spark):
+    """Anchored-window ordered funnel: earliest completion chain, strictly
+    increasing, later steps bounded to t_1 + horizon; out-of-order or
+    outside-window steps don't count; one row per user reaching step 1."""
+    from battetl_spark.operators import funnel
+
+    rows = [
+        # u1: full clean funnel
+        ("u1", "signup", 100), ("u1", "view", 200), ("u1", "purchase", 300),
+        # u2: purchase BEFORE view -> depth 2 (order matters)
+        ("u2", "signup", 100), ("u2", "purchase", 150), ("u2", "view", 200),
+        # u3: view outside horizon -> depth 1
+        ("u3", "signup", 100), ("u3", "view", 100 + 1000),
+        # u4: no signup at all -> absent from output
+        ("u4", "view", 100), ("u4", "purchase", 200),
+        # u5: view at the SAME ts as signup must NOT count (strictly after);
+        #     the later view does, purchase exactly at the horizon counts
+        ("u5", "signup", 100), ("u5", "view", 100), ("u5", "view", 150),
+        ("u5", "purchase", 600),
+        # u6: two signups; anchor is the EARLIEST (documented), so the
+        #     view within the second signup's window but past the first
+        #     anchor's horizon does not count
+        ("u6", "signup", 0), ("u6", "signup", 900), ("u6", "view", 950),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts_unix"])
+    out = {
+        r["user_id"]: (r["depth"], r["t_1"], r["t_2"], r["t_3"])
+        for r in funnel(
+            ev, ["signup", "view", "purchase"], horizon_s=500
+        ).collect()
+    }
+    assert out == {
+        "u1": (3, 100, 200, 300),
+        "u2": (2, 100, 200, None),
+        "u3": (1, 100, None, None),
+        "u5": (3, 100, 150, 600),
+        "u6": (1, 0, None, None),
+    }
+
+
+def test_funnel_plan_shape(spark):
+    """No window over raw events; the step-type isin reaches the scan
+    filter; aggregates partial-combine map-side."""
+    from battetl_spark.operators import funnel
+
+    ev = spark.createDataFrame(
+        [("u", "signup", 1)], ["user_id", "event_type", "ts_unix"]
+    )
+    plan = funnel(ev, ["signup", "view", "purchase"], horizon_s=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final

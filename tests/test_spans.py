@@ -131,3 +131,115 @@ def test_strip_plan_has_no_per_token_reexpansion(spark):
     assert not re.search(r"lambdafunction\([^)]*regexp_replace", plan)
     # static duplication stays O(k), not O(tokens)
     assert plan.count("regexp_replace") <= 14 * K
+
+
+def test_span_incremental_equals_batch(spark):
+    """SpanIndex family contract: union of per-batch outputs over ANY batch
+    partitioning equals the batch operator's duplicate-occurrence set; each
+    occurrence emitted exactly once; re-ingest anti-joins to a no-op."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from battetl_spark.analytics.sig_index import SpanIndex
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    occ = span_occurrences(df, K)
+    dup = cross_doc_dup_spans(occ)
+    exp = {
+        (r["doc_id"], r["pos"])
+        for r in occ.join(dup, "span_md5", "leftsemi")
+        .select("doc_id", "pos").collect()
+    }
+    for order in ([0, 1, 2], [2, 0, 1]):
+        idx = SpanIndex.create(
+            spark, tempfile.mkdtemp(prefix="spidx_") + "/i", span_k=K
+        )
+        got: set = set()
+        for i in order:
+            rows = [
+                (r["doc_id"], r["pos"])
+                for r in idx.add_batch(
+                    df.filter(F.pmod("doc_id", F.lit(3)) == i)
+                ).collect()
+            ]
+            assert len(rows) == len(set(rows))
+            assert not (set(rows) & got)  # exactly-once across batches
+            got |= set(rows)
+        assert got == exp
+        assert idx.add_batch(df).count() == 0  # re-ingest no-op
+
+
+def test_span_index_back_emits_on_transition(spark):
+    """A span held by a single indexed doc must back-emit that doc's stored
+    occurrences when a LATER batch makes it cross-doc."""
+    import tempfile
+
+    from battetl_spark.analytics.sig_index import SpanIndex
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    idx = SpanIndex.create(
+        spark, tempfile.mkdtemp(prefix="spidx_") + "/i", span_k=K
+    )
+    assert idx.add_batch(df.filter("doc_id = 1")).count() == 0
+    e2 = {(r["doc_id"], r["pos"]) for r in
+          idx.add_batch(df.filter("doc_id = 2")).collect()}
+    assert {d for d, _ in e2} == {1, 2}
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee"]  # tiny vocab → dense collisions
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12),
+        min_size=2,
+        max_size=10,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+def test_span_ops_match_model_on_random_corpora(spark, corpus, k):
+    """Property: stats AND strip agree with the pure-Python model on random
+    low-entropy corpora (dense span collisions, many overlap merges)."""
+    docs = [(i + 1, " ".join(ws)) for i, ws in enumerate(corpus)]
+    seen: dict[str, set[int]] = {}
+
+    def spans_of(w):
+        n = max(len(w) - k + 1, 1)
+        return [(" ".join(w[i:i + k]), i + 1) for i in range(n)]
+
+    for d, t in docs:
+        for s, _ in spans_of(_norm(t)):
+            seen.setdefault(s, set()).add(d)
+    dup = {s for s, ds in seen.items() if len(ds) >= 2}
+    exp_stats, exp_clean = {}, {}
+    for d, t in docs:
+        w = _norm(t)
+        starts = [p for s, p in spans_of(w) if s in dup]
+        covered: set[int] = set()
+        for p in starts:
+            covered.update(range(p, min(p + k - 1, len(w)) + 1))
+        kept = [w[i - 1] for i in range(1, len(w) + 1) if i not in covered]
+        exp_stats[d] = (len(w), len(starts), len(covered))
+        exp_clean[d] = (" ".join(kept), len(kept))
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got_stats = {
+        r["doc_id"]: (r["n_toks"], r["n_dup_spans"], r["dup_tokens"])
+        for r in span_dedup_stats(df, k).collect()
+    }
+    got_clean = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"])
+        for r in strip_duplicated_spans(df, k).collect()
+    }
+    assert got_stats == exp_stats
+    assert got_clean == exp_clean

@@ -45,7 +45,9 @@ def main():
     p = sub.add_parser("compact")
     p.add_argument("--min-files", type=int, default=4)
     p.add_argument("--cluster-by", help="rewrite buckets range-clustered on "
-                   "this column (files hold disjoint ranges; zone maps skip)")
+                   "this column (files hold disjoint ranges; zone maps "
+                   "skip); a comma-separated list Z-ORDERS instead — files "
+                   "range-tight in every listed dimension")
     p.add_argument("--files-per-bucket", type=int, default=1)
     p = sub.add_parser("vacuum-tombstones")
     p.add_argument("--below-lsn", type=int, required=True)
@@ -89,7 +91,9 @@ def main():
     if args.op == "compact":
         print("compact: " + ver(table.compact(
             min_files_per_bucket=args.min_files,
-            cluster_by=args.cluster_by,
+            cluster_by=(args.cluster_by.split(",")
+                        if args.cluster_by and "," in args.cluster_by
+                        else args.cluster_by),
             files_per_bucket=args.files_per_bucket,
         )))
     elif args.op == "vacuum-tombstones":

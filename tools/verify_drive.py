@@ -427,3 +427,57 @@ assert (_qt[_ct].sort_values(_ct).reset_index(drop=True).astype(str)
         .equals(_et[_ct].sort_values(_ct).reset_index(drop=True).astype(str)))
 assert (_qt.groupby("doc_id")["rk"].max() <= 5).all()
 print("tfidf surface: OK")
+
+# incremental span index (round-5 continuation): per-batch union == the
+# batch duplicate-occurrence oracle
+_qs = E.queries()["doc_span_incremental"](spark, sf).toPandas()
+_es = con.sql(E.oracle_sql()["doc_span_incremental"]).df()
+_cs = sorted(_qs.columns)
+assert _cs == sorted(_es.columns)
+assert (_qs[_cs].sort_values(_cs).reset_index(drop=True).astype(str)
+        .equals(_es[_cs].sort_values(_cs).reset_index(drop=True).astype(str)))
+print("span-index surface: OK")
+
+# behavioral funnel + CUBE profile (round-5 continuation)
+for _q in ("event_funnel", "doc_corpus_profile"):
+    _qs = E.queries()[_q](spark, sf).toPandas()
+    _es = con.sql(E.oracle_sql()[_q]).df()
+    _cs = sorted(_qs.columns)
+    assert _cs == sorted(_es.columns), _q
+    assert (_qs[_cs].sort_values(_cs).reset_index(drop=True).astype(str)
+            .equals(_es[_cs].sort_values(_cs).reset_index(drop=True).astype(str))), _q
+print("funnel/profile surface: OK")
+
+# Z-order compaction (round-5 continuation): both-dimension file skipping
+# on a fresh table, byte-identical results
+import numpy as _np
+import pandas as _pd
+_d = tempfile.mkdtemp(prefix="zorder_")
+_t2 = LakeTable.create(spark, _d + "/t", TRANSCRIPT_TABLE_SCHEMA,
+                       num_buckets=2, key_cols=KEY_COLS, sort_cols=KEY_COLS)
+_zpdf = FX.make_transcripts(seed=99, n_convs=100, max_turns=4).reset_index(drop=True)
+_zpdf["_last_lsn"] = _np.arange(1, len(_zpdf) + 1, dtype=_np.int64)
+_zpdf["_deleted"] = False
+_n = len(_zpdf)
+_zpdf["ts"] = _pd.Timestamp("2026-01-01") + _pd.to_timedelta((_np.arange(_n) * 7919) % _n, "h")
+_zpdf["turn_idx"] = ((_np.arange(_n) * 104729) % 1000).astype(_np.int32)
+_t2.append(spark.createDataFrame(
+    _zpdf[[f.name for f in TRANSCRIPT_TABLE_SCHEMA.fields]], TRANSCRIPT_TABLE_SCHEMA))
+import datetime as _dt
+_fts = [("ts", "<", _dt.datetime(2026, 1, 2))]
+_fti = [("turn_idx", "<", 120)]
+_ets = _t2.scan(filters=_fts).toPandas()
+_eti = _t2.scan(filters=_fti).toPandas()
+assert _t2.compact(min_files_per_bucket=1, cluster_by=["ts", "turn_idx"],
+                   files_per_bucket=8) is not None
+_tot = len(_t2.scan().inputFiles())
+assert 0 < len(_t2.scan(filters=_fts).inputFiles()) < _tot
+assert 0 < len(_t2.scan(filters=_fti).inputFiles()) < _tot
+_k = ["conv_id", "turn_idx", "_last_lsn"]
+for _got, _exp in ((_t2.scan(filters=_fts).toPandas(), _ets),
+                   (_t2.scan(filters=_fti).toPandas(), _eti)):
+    _a = _got.sort_values(_k).reset_index(drop=True)
+    _b = _exp.sort_values(_k).reset_index(drop=True)
+    _pd.testing.assert_frame_equal(_a, _b)
+shutil.rmtree(_d, ignore_errors=True)
+print("zorder surface: OK")
