@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_bucket_rollup": q_time_bucket_rollup,
         "sessionize": q_sessionize,
         "event_funnel": q_event_funnel,
+        "event_retention": q_event_retention,
         "doc_corpus_profile": q_doc_corpus_profile,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_token_count": q_doc_token_count,
@@ -87,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_span_stats": q_doc_span_stats,
         "doc_span_dedup": q_doc_span_dedup,
         "doc_span_incremental": q_doc_span_incremental,
+        "doc_frequent_ngrams": q_doc_frequent_ngrams,
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "doc_mixture_sample": q_doc_mixture_sample,
         "doc_source_cap": q_doc_source_cap,

@@ -47,6 +47,74 @@ def term_frequencies(
     )
 
 
+def frequent_ngrams(
+    docs: DataFrame,
+    n: int = 2,
+    min_df: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level frequent word n-grams: every n-gram appearing in at
+    least ``min_df`` distinct documents, with its document frequency and
+    total occurrence count — the exact heavy-hitters pass a pipeline runs
+    before boilerplate stripping or contamination review.
+
+    Columns: ``ngram (string), df (long), occurrences (long)``. The output
+    is a threshold SET (no top-k cut), so it is fully deterministic.
+
+    Scale shape: n-grams come from n shifted ``slice`` views of ONE
+    materialized token array zipped together (never indexing the outer
+    array inside a lambda — that re-expands the normalization chain per
+    element); then the tfidf aggregation ladder: groupBy(doc, ngram) with
+    map-side partial aggregation absorbs within-doc repeats before the
+    shuffle, and the corpus-level rollup counts the already-distinct pairs
+    — never a count-distinct. A 10^9-doc corpus shuffles one row per
+    distinct (doc, ngram), and the ``min_df`` filter runs post-aggregate
+    where the data is smallest.
+
+    Reference analog: none (no corpus analytics in the reference);
+    LLM-pipeline layer per the build brief. Tokenization matches
+    ``textops.normalized_text`` (empty text → one empty token; a doc with
+    fewer than n tokens contributes no n-grams).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = docs.select(
+        F.col(id_col), F.split(normalized_text(text_col), " ").alias("__w")
+    )
+    if n == 1:
+        grams = toks.select(id_col, F.explode("__w").alias("ngram"))
+    else:
+        sliced = toks.select(
+            id_col,
+            *[
+                F.expr(
+                    f"slice(__w, {i + 1}, greatest(size(__w) - {n - 1}, 0))"
+                ).alias(f"__s{i}")
+                for i in range(n)
+            ],
+        )
+        zip_cols = ",".join(f"__s{i}" for i in range(n))
+        parts = ",".join(f"s.__s{i}" for i in range(n))
+        grams = sliced.select(
+            id_col,
+            F.explode(
+                F.expr(f"transform(arrays_zip({zip_cols}), s -> concat_ws(' ', {parts}))")
+            ).alias("ngram"),
+        )
+    per_doc = grams.groupBy(id_col, "ngram").agg(
+        F.count(F.lit(1)).cast("long").alias("__occ")
+    )
+    return (
+        per_doc.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("__occ").cast("long").alias("occurrences"),
+        )
+        .filter(F.col("df") >= int(min_df))
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     top_n: int,

@@ -472,3 +472,69 @@ def _merge_apply_once(
                 resolved.unpersist()
             except NameError:
                 pass
+
+
+def delete_where(
+    table: LakeTable,
+    filters: list[tuple] | None = None,
+    predicate=None,
+    lsn: int | None = None,
+    epoch_id: int | None = None,
+    key_cols: list[str] | None = None,
+    **merge_kwargs,
+) -> MergeResult:
+    """Bulk predicate DELETE as first-class CDC: synthesize tombstone
+    change events for every live row matching the predicate and route them
+    through ``merge_apply``, so every invariant — LWW resolve, tombstone
+    fencing of late events, epoch fences, conflict rebase, lineage —
+    applies unchanged (reference analog: the hard-delete retention path a
+    warehouse runs around `/root/reference/battetl/load/Loader.py`'s
+    insert-only tables; no native analog, engine surface).
+
+    ``filters`` is ``scan()``'s ``(col, op, value)`` list and reaches the
+    zone maps: on a 100-TB table a ``ts``-bounded purge opens only the
+    files whose range overlaps, and the synthesized events carry ONLY key
+    and envelope columns with live values (payload columns are typed
+    NULLs), so column pruning reaches the parquet scan too. ``predicate``
+    adds an arbitrary post-scan row filter (Column) when the condition
+    isn't zone-map expressible.
+
+    ``lsn``:
+    - ``None`` (default): each event deletes at ``row._last_lsn + 1`` — a
+      *snapshot-conditional* delete that wins exactly over the version it
+      observed and loses to any concurrently-committed newer update (that
+      row survives; CDC-correct, no lost update).
+    - an int: a fixed stream-aligned LSN for every event; rows whose
+      ``_last_lsn >= lsn`` are NOT deleted (LWW keeps them) — the caller
+      owns the ordering guarantee.
+
+    Deletes-as-of-snapshot: rows committed by writers AFTER our scan
+    pinned its file list are not candidates even if they match. The
+    returned ``MergeResult.rows_deleted`` counts rows actually deleted.
+    """
+    key_cols = key_cols or KEY_COLS
+    snap = table.snapshot()
+    schema = T.StructType.fromJson(snap["schema"])
+    rows = table.scan(filters=filters, snap=snap)
+    if predicate is not None:
+        rows = rows.filter(predicate)
+    lsn_col = (
+        (F.col(LAST_LSN_COL) + F.lit(1)).cast("long")
+        if lsn is None
+        else F.lit(int(lsn)).cast("long")
+    )
+    events = rows.select(
+        lsn_col.alias("lsn"),
+        F.lit("d").alias("op"),
+        *[
+            F.col(f.name).alias(f.name)
+            if f.name in key_cols
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+            if not f.name.startswith("_")
+        ],
+        F.lit(None).cast("int").alias("source_partition"),
+    )
+    return merge_apply(
+        table, events, epoch_id=epoch_id, key_cols=key_cols, **merge_kwargs
+    )

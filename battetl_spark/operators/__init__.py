@@ -2,6 +2,7 @@ from battetl_spark.operators.relational import (  # noqa: F401
     asof_join,
     funnel,
     range_join_count,
+    retention,
     sessionize,
     time_bucket_rollup,
 )

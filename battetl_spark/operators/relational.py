@@ -149,6 +149,63 @@ def sessionize(
     return df.withColumn("session_id", F.sum(new_sess).over(run) - 1)
 
 
+def retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "day",
+) -> DataFrame:
+    """Cohort retention: each user's cohort is the ``period`` (day|week) of
+    their FIRST event; for every (cohort, offset) cell, how many of that
+    cohort's users were active ``offset`` periods later.
+
+    Returns ``cohort_<period> (date), offset_<period>s (int), n_users,
+    cohort_size`` — one row per non-empty cell (offset 0 always exists and
+    equals ``cohort_size``).
+
+    Scale shape: (1) distinct (user, period) activity — ONE shuffle on the
+    pair, partial-aggregated map-side so a user with 10^6 events in a day
+    combines before the exchange; (2) per-user min → cohort — shuffle on
+    user; (3) activity ⋈ cohort is co-partitioned on the same user key;
+    (4) the (cohort, offset) grid aggregate counts rows (the input is
+    already user-distinct — never a count-distinct); (5) cohort sizes are
+    the grid's own offset-0 slice, broadcast back. No window over raw
+    events, nothing driver-side; the grid is bounded by days², not rows.
+
+    Reference analog: none (no behavioral analytics in the reference ETL);
+    events-table analytics family of the build brief, completing the
+    sessionize → funnel → retention trio.
+    """
+    if period not in ("day", "week"):
+        raise ValueError(f"period must be 'day' or 'week', got {period!r}")
+    act = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            F.date_trunc(period, F.col(ts_col)).alias("__p"),
+        )
+        .distinct()
+    )
+    coh = act.groupBy("__u").agg(F.min("__p").alias("__c"))
+    days = F.datediff(F.to_date("__p"), F.to_date("__c"))
+    # date_trunc aligns both endpoints to the period start, so the day gap
+    # is exactly divisible for week — integer division, no rounding
+    offset = (days / 7).cast("int") if period == "week" else days.cast("int")
+    grid = (
+        act.join(coh, "__u")
+        .groupBy(F.col("__c"), offset.alias("__off"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    sizes = grid.filter(F.col("__off") == 0).select(
+        "__c", F.col("n_users").alias("cohort_size")
+    )
+    return grid.join(F.broadcast(sizes), "__c").select(
+        F.to_date("__c").alias(f"cohort_{period}"),
+        F.col("__off").alias(f"offset_{period}s"),
+        "n_users",
+        "cohort_size",
+    )
+
+
 def funnel(
     events: DataFrame,
     steps: list[str],

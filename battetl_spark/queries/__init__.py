@@ -41,6 +41,7 @@ from battetl_spark.queries.relational import (  # noqa: F401
     q_time_bucket_rollup,
     q_sessionize,
     q_event_funnel,
+    q_event_retention,
     q_doc_corpus_profile,
 )
 from battetl_spark.queries.text import (  # noqa: F401
@@ -63,6 +64,7 @@ from battetl_spark.queries.text import (  # noqa: F401
     q_doc_span_stats,
     q_doc_span_dedup,
     q_doc_span_incremental,
+    q_doc_frequent_ngrams,
     q_doc_tfidf_terms,
     q_doc_simhash,
     q_corpus_clean,

@@ -564,6 +564,48 @@ def _ann_lsh_sql(dim: int, num_planes: int, k: int) -> str:
     """
 
 
+def _frequent_ngrams_sql(min_df: int) -> str:
+    """Exact bigram document-frequency heavy hitters: same normalization as
+    the tfidf oracle, adjacent-position pairs via 1-indexed list slots
+    (range is end-exclusive so i runs 1..len-1); sum over BIGINT is HUGEINT
+    in DuckDB — cast back."""
+    return rf"""
+        WITH norm AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, w[i] || ' ' || w[i + 1] AS ngram
+          FROM norm, LATERAL unnest(range(1, len(w))) AS t(i)
+        ),
+        per_doc AS (
+          SELECT doc_id, ngram, count(*) AS occ FROM grams GROUP BY 1, 2
+        )
+        SELECT ngram, count(*)::BIGINT AS df,
+               CAST(sum(occ) AS BIGINT) AS occurrences
+        FROM per_doc GROUP BY ngram HAVING count(*) >= {min_df}
+    """
+
+
+_RETENTION_SQL = """
+    WITH act AS (
+      SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS p FROM events
+    ),
+    coh AS (SELECT u, min(p) AS c FROM act GROUP BY u),
+    grid AS (
+      SELECT c, date_diff('day', c, p) AS off, count(*) AS n_users
+      FROM act JOIN coh USING (u) GROUP BY 1, 2
+    )
+    SELECT strftime(c, '%Y-%m-%d') AS cohort_day, CAST(off AS INT) AS offset_days,
+           n_users::BIGINT AS n_users,
+           CAST(max(CASE WHEN off = 0 THEN n_users END)
+                OVER (PARTITION BY c) AS BIGINT) AS cohort_size
+    FROM grid
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop = r"\b(the|a|and|of|to|in|is|it|for|on)\b"
     lang_scores = ", ".join(
@@ -1080,6 +1122,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_span_dedup": _span_strip_sql(_QT.SPAN_K),
         "doc_span_incremental": _span_dup_occurrences_sql(_QT.SPAN_K),
         "event_funnel": _funnel_sql(_QR.FUNNEL_STEPS, _QR.FUNNEL_HORIZON_S),
+        "event_retention": _RETENTION_SQL,
+        "doc_frequent_ngrams": _frequent_ngrams_sql(_QT.FREQ_NGRAM_MIN_DF),
         "doc_corpus_profile": _CORPUS_PROFILE_SQL,
         "doc_tfidf_terms": _tfidf_sql(_QT.TFIDF_TOP_N),
         "doc_simhash": _simhash_pairs_sql(3),

@@ -100,3 +100,17 @@ def q_doc_corpus_profile(spark, sf):
         )
         .select("lang", "source", "gid", "n_docs", "chars")
     )
+
+
+def q_event_retention(spark, sf):
+    """Daily cohort retention over the events table: cohort = first-activity
+    day per user; each (cohort_day, offset_days) cell counts that cohort's
+    users active again offset days later, with the cohort size broadcast
+    back from the grid's own offset-0 slice. Completes the sessionize →
+    funnel → retention behavioral-analytics trio."""
+    from battetl_spark.operators import retention
+
+    r = retention(_t(spark, sf, "events"), period="day")
+    # dates stringify with a time component on one engine's toPandas path;
+    # emit the ISO day string so the value hash is representation-free
+    return r.withColumn("cohort_day", F.date_format("cohort_day", "yyyy-MM-dd"))

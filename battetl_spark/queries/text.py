@@ -401,3 +401,21 @@ def q_doc_span_incremental(spark, sf):
         o = idx.add_batch(docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i))
         out = o if out is None else out.unionByName(o)
     return out
+
+
+FREQ_NGRAM_N = 2
+FREQ_NGRAM_MIN_DF = 5
+
+
+def q_doc_frequent_ngrams(spark, sf):
+    """Corpus heavy hitters: every word bigram in >= FREQ_NGRAM_MIN_DF
+    distinct documents with its document frequency + total occurrences —
+    a deterministic threshold set (no top-k cut). Shifted-slice n-gram
+    build (no per-element re-expansion) + the two partial-aggregated
+    tfidf-ladder shuffles; the rollup counts already-distinct (doc, ngram)
+    pairs, never a count-distinct."""
+    from battetl_spark.analytics.terms import frequent_ngrams
+
+    return frequent_ngrams(
+        _t(spark, sf, "documents"), n=FREQ_NGRAM_N, min_df=FREQ_NGRAM_MIN_DF
+    )

@@ -128,3 +128,80 @@ def test_funnel_plan_shape(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_retention_semantics(spark):
+    """Cohort = first-activity day; cells count distinct users per offset;
+    cohort_size joins back from the offset-0 slice; multiple events in one
+    day collapse to one activity."""
+    import datetime as dt
+
+    from battetl_spark.operators import retention
+
+    def t(day, hour=0):
+        return dt.datetime(2026, 1, day, hour)
+
+    rows = [
+        # cohort 2026-01-01: u1 active d0, d1, d2; u2 active d0 and d2
+        ("u1", t(1)), ("u1", t(1, 5)), ("u1", t(2)), ("u1", t(3)),
+        ("u2", t(1, 23)), ("u2", t(3, 1)),
+        # cohort 2026-01-02: u3 active d0 only
+        ("u3", t(2, 12)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        (r["cohort_day"].isoformat(), r["offset_days"]):
+            (r["n_users"], r["cohort_size"])
+        for r in retention(ev, period="day").collect()
+    }
+    assert out == {
+        ("2026-01-01", 0): (2, 2),
+        ("2026-01-01", 1): (1, 2),
+        ("2026-01-01", 2): (2, 2),
+        ("2026-01-02", 0): (1, 1),
+    }
+
+
+def test_retention_week_alignment(spark):
+    """Weekly cohorts truncate to the week start, so the day gap is exactly
+    divisible by 7 and offsets are whole weeks."""
+    import datetime as dt
+
+    from battetl_spark.operators import retention
+
+    rows = [  # 2026-01-05 is a Monday
+        ("u1", dt.datetime(2026, 1, 6)),     # week of Jan 5
+        ("u1", dt.datetime(2026, 1, 18)),    # Sunday of the NEXT week (+1)
+        ("u1", dt.datetime(2026, 1, 19)),    # Monday two weeks out (+2)
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        r["offset_weeks"]: r["n_users"]
+        for r in retention(ev, period="week").collect()
+    }
+    assert out == {0: 1, 1: 1, 2: 1}
+
+
+def test_frequent_ngrams_semantics(spark):
+    """df counts distinct docs, occurrences counts every slot, the min_df
+    threshold is a deterministic set cut; docs shorter than n contribute
+    nothing; normalization lowercases and strips punctuation."""
+    from battetl_spark.analytics.terms import frequent_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat, the cat sat"),   # 'the cat' x2, 'cat sat' x2
+            (2, "The CAT sat"),                # normalized same bigrams
+            (3, "cat"),                        # 1 token -> no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["ngram"]: (r["df"], r["occurrences"])
+        for r in frequent_ngrams(docs, n=2, min_df=2).collect()
+    }
+    assert out == {"the cat": (2, 3), "cat sat": (2, 3)}
+    only_doc1 = frequent_ngrams(docs, n=2, min_df=1).collect()
+    assert {r["ngram"] for r in only_doc1} == {
+        "the cat", "cat sat", "sat the"
+    }

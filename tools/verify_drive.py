@@ -481,3 +481,28 @@ for _got, _exp in ((_t2.scan(filters=_fts).toPandas(), _ets),
     _pd.testing.assert_frame_equal(_a, _b)
 shutil.rmtree(_d, ignore_errors=True)
 print("zorder surface: OK")
+
+# retention + frequent n-grams (round-5 continuation): oracle-reshaped
+for _q in ("event_retention", "doc_frequent_ngrams"):
+    _qs = E.queries()[_q](spark, sf).toPandas()
+    _es = con.sql(E.oracle_sql()[_q]).df()
+    _cs = sorted(_qs.columns)
+    assert _cs == sorted(_es.columns), _q
+    assert (_qs[_cs].sort_values(_cs).reset_index(drop=True).astype(str)
+            .equals(_es[_cs].sort_values(_cs).reset_index(drop=True).astype(str))), _q
+print("retention/ngrams surface: OK")
+
+# bulk predicate delete through the CDC merge path (round-5 continuation)
+from battetl_spark.cdc import delete_where as _dw
+_dd = tempfile.mkdtemp(prefix="delw_")
+_t3 = LakeTable.create(spark, _dd + "/t", TRANSCRIPT_TABLE_SCHEMA,
+                       num_buckets=2, key_cols=KEY_COLS, sort_cols=KEY_COLS)
+_bw = FX.make_transcripts(seed=5, n_convs=15, max_turns=5)
+_t3.append(FX.table_rows_df(spark, _bw))
+_rw = _dw(_t3, filters=[("turn_idx", ">=", 3)], epoch_id=1)
+assert _rw.applied and _rw.rows_deleted == int((_bw.turn_idx >= 3).sum())
+assert _t3.scan().filter("turn_idx >= 3").count() == 0
+assert _t3.scan().count() == int((_bw.turn_idx < 3).sum())
+assert not _dw(_t3, filters=[("turn_idx", ">=", 3)], epoch_id=1).applied
+shutil.rmtree(_dd, ignore_errors=True)
+print("delete-where surface: OK")
