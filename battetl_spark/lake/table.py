@@ -934,17 +934,75 @@ class LakeTable:
         return out if state["folded"] else None
 
     # ------------------------------------------------------------ time travel
-    def snapshot_at(self, version: int) -> dict:
+    def snapshot_at(self, version: int | str) -> dict:
+        """Snapshot by version number, or by TAG NAME (str)."""
+        if isinstance(version, str):
+            tags = self.snapshot().get("tags") or {}
+            if version not in tags:
+                raise ValueError(f"tag {version!r} does not exist")
+            version = int(tags[version])
         p = os.path.join(self._meta_dir, f"v{version:08d}.json")
         if not os.path.exists(p):
             raise ValueError(f"snapshot version {version} does not exist")
         with open(p) as f:
             return self._hydrate(json.load(f))
 
-    def scan_at(self, version: int, include_deleted: bool = False) -> DataFrame:
-        """Time travel: read the table as of an earlier snapshot (data files
-        are immutable; history lives until vacuum_files drops it)."""
+    def scan_at(self, version: int | str, include_deleted: bool = False) -> DataFrame:
+        """Time travel: read the table as of an earlier snapshot — by
+        version number or tag name (data files are immutable; UNTAGGED
+        history lives until vacuum_files drops it, tagged versions are
+        vacuum-protected)."""
         return self.scan(snap=self.snapshot_at(version), include_deleted=include_deleted)
+
+    # ------------------------------------------------------------------- tags
+    def tag(self, name: str, version: int | None = None, replace: bool = False) -> int:
+        """Pin an immutable named tag to a snapshot version (default: the
+        current one) — the reproducible-training-dataset primitive (Iceberg
+        tag analog): a run records ``table.tag("train-v3")`` and every later
+        job reads ``scan_at("train-v3")`` byte-identically, regardless of
+        subsequent ingest, compaction, or vacuum. Tags live in the snapshot
+        root (transactional with everything else; the tag commit itself is
+        metadata-only and reuses all manifest pointers) and ``vacuum_files``
+        retains every tagged version's metadata + data files. Returns the
+        tagged version."""
+        state: dict = {}
+
+        def mutate(snap):
+            v = snap["version"] if version is None else int(version)
+            p = os.path.join(self._meta_dir, f"v{v:08d}.json")
+            if version is not None and not os.path.exists(p):
+                raise ValueError(f"snapshot version {v} does not exist")
+            tags = dict(snap.get("tags") or {})
+            if name in tags and not replace:
+                if int(tags[name]) == v:
+                    state["version"] = v
+                    return None  # already pinned there — idempotent no-op
+                raise ValueError(
+                    f"tag {name!r} already pins v{tags[name]} (replace=True to move)"
+                )
+            tags[name] = v
+            snap["tags"] = tags
+            snap["lineage"] = []
+            state["version"] = v
+            return snap
+
+        self.commit(mutate)
+        return state["version"]
+
+    def tags(self) -> dict[str, int]:
+        return {k: int(v) for k, v in (self.snapshot().get("tags") or {}).items()}
+
+    def delete_tag(self, name: str) -> None:
+        def mutate(snap):
+            tags = dict(snap.get("tags") or {})
+            if name not in tags:
+                return None
+            del tags[name]
+            snap["tags"] = tags
+            snap["lineage"] = []
+            return snap
+
+        self.commit(mutate)
 
     def rollback(self, version: int) -> dict:
         """Roll the table back to an earlier snapshot's state as a NEW
@@ -1270,14 +1328,19 @@ class LakeTable:
 
     def vacuum_files(self, keep_snapshots: int = 2) -> list[str]:
         """Delete data files referenced by NO retained snapshot and drop
-        metadata older than the last ``keep_snapshots`` versions. Safe order:
-        metadata first (readers can no longer reach old versions), then
-        unreferenced files. Returns deleted file paths."""
+        metadata older than the last ``keep_snapshots`` versions. TAGGED
+        versions (see ``tag``) are always retained — metadata, manifests and
+        data files — so a pinned training dataset survives any vacuum. Safe
+        order: metadata first (readers can no longer reach old versions),
+        then unreferenced files. Returns deleted file paths."""
         versions = sorted(
             int(os.path.basename(p)[1:-5])
             for p in glob.glob(os.path.join(self._meta_dir, "v*.json"))
         )
-        retained = versions[-keep_snapshots:]
+        tagged = {
+            int(v) for v in (self.snapshot().get("tags") or {}).values()
+        }
+        retained = sorted(set(versions[-keep_snapshots:]) | (tagged & set(versions)))
         live: set[str] = set()
         live_manifests: set[str] = set()
         for v in retained:
@@ -1286,8 +1349,9 @@ class LakeTable:
             for entries in s["files"].values():
                 for e in entries:
                     live.add(os.path.join(self.path, e["path"]))
-        for v in versions[:-keep_snapshots]:
-            os.remove(os.path.join(self._meta_dir, f"v{v:08d}.json"))
+        for v in versions:
+            if v not in retained:
+                os.remove(os.path.join(self._meta_dir, f"v{v:08d}.json"))
         # manifests referenced by no retained root follow their snapshots out
         for p in glob.glob(os.path.join(self._meta_dir, "manifests", "m-*.json")):
             rel = os.path.relpath(p, self._meta_dir)

@@ -12,6 +12,8 @@ safe beside a running stream (conflict-detected where they rewrite data):
   rebucket          power-of-two bucket-count growth (shuffle-free rewrite)
   expire-history    SCD-2 retention: drop versions closed at/below an LSN
                     (HistoryTable; bucket-pruned via valid_to zone maps)
+  tag               pin a named, vacuum-protected tag to the current (or
+                    a given) snapshot version; delete-tag removes the pin
 
 plus one for the file-backed change log (``--log`` instead of ``--table``):
 
@@ -58,6 +60,12 @@ def main():
     p.add_argument("--before-lsn", type=int, required=True)
     p = sub.add_parser("rebucket")
     p.add_argument("--num-buckets", type=int, required=True)
+    p = sub.add_parser("tag")
+    p.add_argument("--name", required=True)
+    p.add_argument("--version", type=int, help="default: current version")
+    p.add_argument("--replace", action="store_true")
+    p = sub.add_parser("delete-tag")
+    p.add_argument("--name", required=True)
     p = sub.add_parser("vacuum-segments")
     p.add_argument("--checkpoint", action="append", required=True,
                    help="consumer checkpoint dir (repeatable; a segment is "
@@ -115,6 +123,12 @@ def main():
     elif args.op == "rebucket":
         snap = table.rebucket(args.num_buckets)
         print(f"rebucket: v{snap['version']} num_buckets={snap['num_buckets']}")
+    elif args.op == "tag":
+        v = table.tag(args.name, version=args.version, replace=args.replace)
+        print(f"tag: {args.name} -> v{v}")
+    elif args.op == "delete-tag":
+        table.delete_tag(args.name)
+        print(f"delete-tag: {args.name} removed")
 
 
 if __name__ == "__main__":

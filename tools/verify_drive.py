@@ -506,3 +506,21 @@ assert _t3.scan().count() == int((_bw.turn_idx < 3).sum())
 assert not _dw(_t3, filters=[("turn_idx", ">=", 3)], epoch_id=1).applied
 shutil.rmtree(_dd, ignore_errors=True)
 print("delete-where surface: OK")
+
+# snapshot tags (round-5 continuation): pin, churn, vacuum, replay
+_td = tempfile.mkdtemp(prefix="tags_")
+_t4 = LakeTable.create(spark, _td + "/t", TRANSCRIPT_TABLE_SCHEMA,
+                       num_buckets=2, key_cols=KEY_COLS, sort_cols=KEY_COLS)
+_t4.append(FX.table_rows_df(spark, FX.make_transcripts(seed=8, n_convs=10, max_turns=4)))
+_pin = _t4.scan().orderBy("conv_id", "turn_idx").toPandas()
+_t4.tag("train-v1")
+from battetl_spark.cdc import merge_apply as _ma
+for _i in range(1, 4):
+    _ma(_t4, FX.change_events_df(spark, FX.make_change_events(
+        seed=40 + _i, n_events=300, n_convs=12, max_turns=4)), epoch_id=_i)
+_t4.vacuum_files(keep_snapshots=1)
+_back = _t4.scan_at("train-v1").orderBy("conv_id", "turn_idx").toPandas()
+import pandas as _pd2
+_pd2.testing.assert_frame_equal(_back, _pin)
+shutil.rmtree(_td, ignore_errors=True)
+print("snapshot-tags surface: OK")
