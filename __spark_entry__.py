@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "event_funnel": q_event_funnel,
         "event_retention": q_event_retention,
+        "event_quantiles": q_event_quantiles,
         "doc_corpus_profile": q_doc_corpus_profile,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_token_count": q_doc_token_count,

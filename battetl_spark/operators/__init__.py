@@ -1,6 +1,7 @@
 from battetl_spark.operators.relational import (  # noqa: F401
     asof_join,
     funnel,
+    group_quantiles,
     range_join_count,
     retention,
     sessionize,

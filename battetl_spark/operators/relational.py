@@ -265,3 +265,60 @@ def funnel(
         depth.cast("int").alias("depth"),
         *[F.col(f"t_{i}") for i in range(1, len(steps) + 1)],
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: list[float],
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group quantiles of ``value_col`` — ``p<q*100>`` columns plus
+    ``n``.
+
+    Exact mode (default) computes the DISCRETE (higher-tie) quantile: the
+    smallest data value whose ``cume_dist >= q``. Picking an actual element
+    (never interpolating between two) keeps the result reproducible across
+    engines bit-for-bit — interpolation formulas differ in their last-ulp
+    float rounding between implementations; ``cume_dist`` is an exact
+    rational. Cost shape: ONE per-group sort window (the honest cost of
+    exact order statistics — partitioned by group, so no global sort and no
+    hot key unless one group dominates) + one partial-aggregated groupBy.
+
+    ``approx=True`` is the 100-TB path: Spark's ``percentile_approx``
+    (t-digest-style mergeable sketch, no sort, partial-aggregated) with the
+    same output shape — documented rank error instead of exactness, so it
+    is NOT oracle-checked.
+
+    Reference analog: none (no distribution profiling in the reference
+    ETL); data-profiling family of the build brief.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+
+    def name(q):
+        pct = q * 100
+        return f"p{pct:g}".replace(".", "_")
+
+    if approx:
+        return df.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.percentile_approx(value_col, q).alias(name(q))
+                for q in qs
+            ],
+        )
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    base = df.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        F.cume_dist().over(w).alias("__cd"),
+    )
+    return base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.min(F.when(F.col("__cd") >= q, F.col("__v"))).alias(name(q))
+            for q in qs
+        ],
+    )

@@ -606,6 +606,23 @@ _RETENTION_SQL = """
 """
 
 
+# discrete (higher-tie) quantiles: the smallest value whose cume_dist >= q —
+# an ACTUAL data value, so no interpolation-formula last-ulp divergence
+# between engines; cume_dist is an exact rational in both
+_QUANTILES_SQL = """
+    WITH b AS (
+      SELECT event_type, value AS v,
+             cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+      FROM events
+    )
+    SELECT event_type, count(*)::BIGINT AS n,
+           round(min(CASE WHEN cd >= 0.5 THEN v END), 6) AS p50,
+           round(min(CASE WHEN cd >= 0.95 THEN v END), 6) AS p95,
+           round(min(CASE WHEN cd >= 0.99 THEN v END), 6) AS p99
+    FROM b GROUP BY event_type
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop = r"\b(the|a|and|of|to|in|is|it|for|on)\b"
     lang_scores = ", ".join(
@@ -1123,6 +1140,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_span_incremental": _span_dup_occurrences_sql(_QT.SPAN_K),
         "event_funnel": _funnel_sql(_QR.FUNNEL_STEPS, _QR.FUNNEL_HORIZON_S),
         "event_retention": _RETENTION_SQL,
+        "event_quantiles": _QUANTILES_SQL,
         "doc_frequent_ngrams": _frequent_ngrams_sql(_QT.FREQ_NGRAM_MIN_DF),
         "doc_corpus_profile": _CORPUS_PROFILE_SQL,
         "doc_tfidf_terms": _tfidf_sql(_QT.TFIDF_TOP_N),

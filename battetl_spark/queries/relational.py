@@ -114,3 +114,25 @@ def q_event_retention(spark, sf):
     # dates stringify with a time component on one engine's toPandas path;
     # emit the ISO day string so the value hash is representation-free
     return r.withColumn("cohort_day", F.date_format("cohort_day", "yyyy-MM-dd"))
+
+
+QUANTILE_QS = [0.5, 0.95, 0.99]
+
+
+def q_event_quantiles(spark, sf):
+    """Exact per-event-type value quantiles (p50/p95/p99) — DISCRETE
+    (higher-tie) quantiles via cume_dist, picking actual data values so
+    the result is bit-identical cross-engine (interpolated percentiles
+    differ in last-ulp rounding between implementations). One per-group
+    sort window + one partial-aggregated groupBy; approx=True documented
+    as the sketch-based 100-TB path."""
+    from battetl_spark.operators import group_quantiles
+
+    ev = _t(spark, sf, "events")
+    out = group_quantiles(ev, ["event_type"], "value", QUANTILE_QS)
+    return out.select(
+        "event_type", "n",
+        F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+        F.round("p99", 6).alias("p99"),
+    )

@@ -109,6 +109,7 @@ ANALYTIC_QUERIES = [
     "doc_span_incremental",
     "event_funnel",
     "event_retention",
+    "event_quantiles",
     "doc_corpus_profile",
     "doc_frequent_ngrams",
     "doc_tfidf_terms",
@@ -201,7 +202,8 @@ def main():
          "corpus_clean_incremental", "emb_near_dup_incremental",
          "doc_dup_clusters", "doc_decontaminate", "doc_repetition",
          "doc_span_stats", "doc_span_dedup", "doc_span_incremental",
-         "event_funnel", "event_retention", "doc_corpus_profile",
+         "event_funnel", "event_retention", "event_quantiles",
+         "doc_corpus_profile",
          "doc_frequent_ngrams",
          "doc_tfidf_terms", "doc_split_assign",
          "cdc_history", "cdc_asof_state", "doc_pack_sequences", "doc_pack_chunks"}

@@ -205,3 +205,23 @@ def test_frequent_ngrams_semantics(spark):
     assert {r["ngram"] for r in only_doc1} == {
         "the cat", "cat sat", "sat the"
     }
+
+
+def test_group_quantiles_exact_and_approx(spark):
+    """Discrete higher-tie quantile: smallest value with cume_dist >= q;
+    ties collapse to one peer group; approx mode keeps the output shape."""
+    from battetl_spark.operators import group_quantiles
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]]
+    rows += [("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 9.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {
+        r["g"]: (r["n"], r["p50"], r["p90"])
+        for r in group_quantiles(df, ["g"], "v", [0.5, 0.9]).collect()
+    }
+    # a: cd(5)=0.5 -> p50=5; cd(9)=0.9 -> p90=9
+    # b: ties at 5 share cd=0.75 >= 0.5 -> p50=5; p90 -> 9 (cd=1.0)
+    assert out == {"a": (10, 5.0, 9.0), "b": (4, 5.0, 9.0)}
+    ap = group_quantiles(df, ["g"], "v", [0.5], approx=True).collect()
+    assert {r["g"] for r in ap} == {"a", "b"}
+    assert all(r["p50"] is not None and r["n"] > 0 for r in ap)

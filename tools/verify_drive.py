@@ -483,7 +483,7 @@ shutil.rmtree(_d, ignore_errors=True)
 print("zorder surface: OK")
 
 # retention + frequent n-grams (round-5 continuation): oracle-reshaped
-for _q in ("event_retention", "doc_frequent_ngrams"):
+for _q in ("event_retention", "doc_frequent_ngrams", "event_quantiles"):
     _qs = E.queries()[_q](spark, sf).toPandas()
     _es = con.sql(E.oracle_sql()[_q]).df()
     _cs = sorted(_qs.columns)
