@@ -426,6 +426,57 @@ class LakeTable:
             snap["schemas"][sid] = json.loads(evolved.json())
             snap["schema"] = snap["schemas"][sid]
             snap["current_schema_id"] = sid
+            # a column re-added after drop_column() is a NEW column: record
+            # the first schema-id whose files may carry its values, so scan
+            # masks the dropped predecessor's bytes in older files to NULL
+            dropped = dict(snap.get("dropped_cols") or {})
+            cur_names = {f.name for f in cur.fields}
+            for f in evolved.fields:
+                if f.name not in cur_names and f.name in dropped:
+                    mins = dict(snap.get("column_min_sid") or {})
+                    mins[f.name] = int(sid)
+                    snap["column_min_sid"] = mins
+                    del dropped[f.name]
+                    snap["dropped_cols"] = dropped
+            snap["lineage"] = []
+            return snap
+
+        return T.StructType.fromJson(self.commit(mutate)["schema"])
+
+    def drop_column(self, name: str) -> T.StructType:
+        """Drop a column by metadata only — no file rewrite (Iceberg DROP
+        COLUMN analog). Existing files keep the bytes; the column simply
+        leaves the current schema, so scans stop selecting it and incoming
+        batches no longer carry it through ``_project``. Key, bucket, sort
+        and engine-internal (``_``-prefixed) columns are refused.
+
+        Re-adding the same name later (explicitly, or implicitly by a
+        batch that still carries the column — it evolves back in) creates
+        a NEW column: files written before the re-add read NULL for it,
+        never the dropped predecessor's stored values (tracked via
+        ``column_min_sid``; realized per schema-id read group in scan).
+        Returns the evolved schema."""
+
+        def mutate(snap):
+            cur = T.StructType.fromJson(snap["schema"])
+            if name not in {f.name for f in cur.fields}:
+                raise ValueError(f"column {name!r} does not exist")
+            protected = set(snap.get("key_cols") or [])
+            protected.add(snap["bucket_key"])
+            protected |= set(snap.get("sort_cols") or [])
+            if name.startswith("_") or name in protected:
+                raise ValueError(
+                    f"column {name!r} is a key/bucket/sort/internal column "
+                    "and cannot be dropped"
+                )
+            evolved = T.StructType([f for f in cur.fields if f.name != name])
+            sid = str(max(int(k) for k in snap["schemas"]) + 1)
+            snap["schemas"][sid] = json.loads(evolved.json())
+            snap["schema"] = snap["schemas"][sid]
+            snap["current_schema_id"] = sid
+            dropped = dict(snap.get("dropped_cols") or {})
+            dropped[name] = int(sid)
+            snap["dropped_cols"] = dropped
             snap["lineage"] = []
             return snap
 
@@ -483,10 +534,20 @@ class LakeTable:
         field_names = {f.name for f in cur_schema.fields}
         ftypes = {f.name: f.dataType for f in cur_schema.fields}
 
-        def harmonize(df):
+        # drop/re-add lineage: a column re-added after drop_column() is a
+        # NEW column — files written before its ``column_min_sid`` still
+        # store the OLD column's bytes under the same name and must read
+        # NULL (Iceberg's field-id semantics, realized here per schema-id
+        # group; no file is rewritten)
+        col_min_sid = {
+            k: int(v) for k, v in (snap.get("column_min_sid") or {}).items()
+        }
+
+        def harmonize(df, sid):
+            g = int(sid)
             cols = [
                 F.col(f.name).cast(f.dataType).alias(f.name)
-                if f.name in df.columns
+                if f.name in df.columns and g >= col_min_sid.get(f.name, 0)
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in cur_schema.fields
             ]
@@ -497,7 +558,7 @@ class LakeTable:
             for sid, paths in groups.items():
                 g_schema = T.StructType.fromJson(snap["schemas"][sid])
                 parts.append(
-                    harmonize(self.spark.read.schema(g_schema).parquet(*paths))
+                    harmonize(self.spark.read.schema(g_schema).parquet(*paths), sid)
                 )
             return reduce(lambda a, b: a.unionByName(b), parts) if parts else None
 

@@ -139,3 +139,52 @@ def test_compat_checker_unit():
         check_schema_compatibility(
             cur, T.StructType([T.StructField("b", T.FloatType(), True)])
         )
+
+
+def test_drop_column_and_masked_readd(spark, tmp_path, base_pdf):
+    """drop_column is metadata-only; re-adding the name (implicitly, via a
+    batch still carrying it) creates a NEW column — files written before
+    the re-add read NULL even though they still store the dropped
+    predecessor's bytes under the same name; time travel to a pre-drop
+    version still sees the old values."""
+    t = seeded(spark, tmp_path / "t5", base_pdf)
+    merge_apply(t, events_with(spark, base_events(20)), epoch_id=0)
+    v_before = t.snapshot()["version"]
+    had_tool = t.scan().filter("tool is not null").count()
+    assert had_tool > 0
+    n_before = t.scan().count()
+
+    t.drop_column("tool")
+    assert "tool" not in [f.name for f in t.schema.fields]
+    assert "tool" not in t.scan().columns
+    assert t.scan().count() == n_before  # no rows touched
+    assert t.scan_at(v_before).filter("tool is not null").count() == had_tool
+
+    # merge WITHOUT the column keeps working and does not resurrect it
+    merge_apply(
+        t, events_with(spark, base_events(10, lsn0=3000)).drop("tool"),
+        epoch_id=1,
+    )
+    assert "tool" not in t.scan().columns
+
+    # a batch still carrying the column evolves it back — as a NEW column
+    ev2 = base_events(10, lsn0=4000)
+    ev2["tool"] = "fresh"
+    merge_apply(t, events_with(spark, ev2), epoch_id=2)
+    df = t.scan()
+    assert "tool" in df.columns
+    fresh = df.filter("tool is not null")
+    assert fresh.count() > 0
+    assert fresh.filter("tool != 'fresh'").count() == 0  # no old bytes leak
+
+
+def test_drop_column_refusals(spark, tmp_path, base_pdf):
+    t = seeded(spark, tmp_path / "t6", base_pdf)
+    for col in ("conv_id", "turn_idx", "_last_lsn"):
+        with pytest.raises(ValueError):
+            t.drop_column(col)
+    with pytest.raises(ValueError):
+        t.drop_column("never_existed")
+    v = t.snapshot()["version"]
+    t.drop_column("tool")
+    assert t.snapshot()["version"] == v + 1

@@ -524,3 +524,21 @@ import pandas as _pd2
 _pd2.testing.assert_frame_equal(_back, _pin)
 shutil.rmtree(_td, ignore_errors=True)
 print("snapshot-tags surface: OK")
+
+# column drop / masked re-add (round-5 continuation)
+_ed = tempfile.mkdtemp(prefix="dropcol_")
+_t5 = LakeTable.create(spark, _ed + "/t", TRANSCRIPT_TABLE_SCHEMA,
+                       num_buckets=2, key_cols=KEY_COLS, sort_cols=KEY_COLS)
+_t5.append(FX.table_rows_df(spark, FX.make_transcripts(seed=9, n_convs=10, max_turns=4)))
+_vpre = _t5.snapshot()["version"]
+_hadtool = _t5.scan().filter("tool is not null").count()
+_t5.drop_column("tool")
+assert "tool" not in _t5.scan().columns
+assert _t5.scan_at(_vpre).filter("tool is not null").count() == _hadtool
+_evr = FX.make_change_events(seed=77, n_events=200, n_convs=12, max_turns=4)
+_evr["tool"] = "fresh"
+_ma(_t5, FX.change_events_df(spark, _evr), epoch_id=1)
+_fr = _t5.scan().filter("tool is not null")
+assert _fr.count() > 0 and _fr.filter("tool != 'fresh'").count() == 0
+shutil.rmtree(_ed, ignore_errors=True)
+print("drop-column surface: OK")
