@@ -443,6 +443,65 @@ class LakeTable:
 
         return T.StructType.fromJson(self.commit(mutate)["schema"])
 
+    def rename_column(self, old: str, new: str) -> T.StructType:
+        """Rename a column by metadata only — no file rewrite (Iceberg
+        RENAME COLUMN analog). Old files keep the bytes under the old name;
+        ``column_aliases`` records the rename sid so scan's per-schema-id
+        harmonize selects the right stored name per file group (renames
+        chain). Key/bucket/sort/internal columns are refused; the target
+        name must be free.
+
+        A later batch still carrying the OLD name evolves it back as a NEW
+        column (old files' bytes masked to NULL, exactly like a dropped
+        name being re-added) — producers are expected to switch to the new
+        name; a non-nullable renamed column forces that at the gate.
+        Returns the evolved schema."""
+
+        def mutate(snap):
+            cur = T.StructType.fromJson(snap["schema"])
+            names = [f.name for f in cur.fields]
+            if old not in names:
+                raise ValueError(f"column {old!r} does not exist")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            if not new or new.startswith("_"):
+                raise ValueError(f"invalid target column name {new!r}")
+            protected = set(snap.get("key_cols") or [])
+            protected.add(snap["bucket_key"])
+            protected |= set(snap.get("sort_cols") or [])
+            if old.startswith("_") or old in protected:
+                raise ValueError(
+                    f"column {old!r} is a key/bucket/sort/internal column "
+                    "and cannot be renamed"
+                )
+            evolved = T.StructType([
+                T.StructField(new, f.dataType, f.nullable) if f.name == old else f
+                for f in cur.fields
+            ])
+            sid = str(max(int(k) for k in snap["schemas"]) + 1)
+            snap["schemas"][sid] = json.loads(evolved.json())
+            snap["schema"] = snap["schemas"][sid]
+            snap["current_schema_id"] = sid
+            aliases = dict(snap.get("column_aliases") or {})
+            chain = list(aliases.pop(old, []))
+            chain.append([int(sid), old])
+            aliases[new] = chain
+            snap["column_aliases"] = aliases
+            mins = dict(snap.get("column_min_sid") or {})
+            if old in mins:
+                mins[new] = mins.pop(old)  # drop/re-add mask travels with it
+            else:
+                mins.pop(new, None)  # a stale mask from new's prior life
+            snap["column_min_sid"] = mins
+            dropped = dict(snap.get("dropped_cols") or {})
+            dropped[old] = int(sid)  # old name re-carried later = NEW column
+            dropped.pop(new, None)
+            snap["dropped_cols"] = dropped
+            snap["lineage"] = []
+            return snap
+
+        return T.StructType.fromJson(self.commit(mutate)["schema"])
+
     def drop_column(self, name: str) -> T.StructType:
         """Drop a column by metadata only — no file rewrite (Iceberg DROP
         COLUMN analog). Existing files keep the bytes; the column simply
@@ -542,15 +601,26 @@ class LakeTable:
         col_min_sid = {
             k: int(v) for k, v in (snap.get("column_min_sid") or {}).items()
         }
+        # rename lineage: aliases[current_name] = [[sid, stored_name], ...]
+        # (ascending sid) — files written before the first entry's sid store
+        # the column under that entry's old name; renames chain
+        aliases = snap.get("column_aliases") or {}
+
+        def stored_name(name, g):
+            for sid_at, old in aliases.get(name, []):
+                if g < int(sid_at):
+                    return old
+            return name
 
         def harmonize(df, sid):
             g = int(sid)
-            cols = [
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                if f.name in df.columns and g >= col_min_sid.get(f.name, 0)
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in cur_schema.fields
-            ]
+            cols = []
+            for f in cur_schema.fields:
+                src = stored_name(f.name, g)
+                if src in df.columns and g >= col_min_sid.get(f.name, 0):
+                    cols.append(F.col(src).cast(f.dataType).alias(f.name))
+                else:
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
             return df.select(*cols)
 
         def read_union(groups):  # {sid: [paths]} -> harmonized union | None

@@ -188,3 +188,64 @@ def test_drop_column_refusals(spark, tmp_path, base_pdf):
     v = t.snapshot()["version"]
     t.drop_column("tool")
     assert t.snapshot()["version"] == v + 1
+
+
+def test_rename_column_reads_old_files(spark, tmp_path, base_pdf):
+    """Metadata-only rename: old files' bytes read under the NEW name via
+    the per-schema-id alias; new writes store the new name; chained rename
+    keeps working; the OLD name re-carried by a batch becomes a NEW masked
+    column; time travel pre-rename shows the old name."""
+    t = seeded(spark, tmp_path / "t7", base_pdf)
+    merge_apply(t, events_with(spark, base_events(20)), epoch_id=0)
+    v_pre = t.snapshot()["version"]
+    old_vals = (
+        t.scan().filter("tool is not null").orderBy(*KEY_COLS)
+        .select("conv_id", "turn_idx", "tool").toPandas()
+    )
+    assert len(old_vals) > 0
+
+    t.rename_column("tool", "tool_name")
+    cols = [f.name for f in t.schema.fields]
+    assert "tool_name" in cols and "tool" not in cols
+    renamed = (
+        t.scan().filter("tool_name is not null").orderBy(*KEY_COLS)
+        .select("conv_id", "turn_idx", "tool_name").toPandas()
+    )
+    assert renamed["tool_name"].tolist() == old_vals["tool"].tolist()
+    assert t.scan_at(v_pre).select("tool").columns == ["tool"]
+
+    # new ingest writes under the new name and reads seamlessly with old files
+    ev = base_events(10, lsn0=5000)
+    ev = ev.rename(columns={"tool": "tool_name"})
+    ev["tool_name"] = "renamedtool"
+    e_df = events_with(spark, ev.rename(columns={"tool_name": "tool"}))
+    e_df = e_df.withColumnRenamed("tool", "tool_name")
+    merge_apply(t, e_df, epoch_id=1)
+    vals = set(
+        r["tool_name"]
+        for r in t.scan().filter("tool_name is not null")
+        .select("tool_name").distinct().collect()
+    )
+    assert "renamedtool" in vals and len(vals) > 1  # old + new bytes coexist
+
+    # chained rename
+    t.rename_column("tool_name", "tool_kind")
+    assert t.scan().filter("tool_kind = 'renamedtool'").count() > 0
+    assert t.scan().filter("tool_kind is not null").count() > len(ev)
+
+    # a batch re-carrying the ORIGINAL name becomes a fresh masked column
+    ev2 = base_events(5, lsn0=6000)
+    ev2["tool"] = "resurrected"
+    merge_apply(t, events_with(spark, ev2), epoch_id=2)
+    df = t.scan()
+    assert {"tool", "tool_kind"} <= set(df.columns)
+    leak = df.filter("tool is not null and tool != 'resurrected'")
+    assert leak.count() == 0  # no old bytes under the original name
+
+
+def test_rename_column_refusals(spark, tmp_path, base_pdf):
+    t = seeded(spark, tmp_path / "t8", base_pdf)
+    for old, new in (("conv_id", "cid"), ("_last_lsn", "lsn2"),
+                     ("tool", "role"), ("tool", "_x"), ("nope", "x")):
+        with pytest.raises(ValueError):
+            t.rename_column(old, new)

@@ -542,3 +542,17 @@ _fr = _t5.scan().filter("tool is not null")
 assert _fr.count() > 0 and _fr.filter("tool != 'fresh'").count() == 0
 shutil.rmtree(_ed, ignore_errors=True)
 print("drop-column surface: OK")
+
+# column rename (round-5 continuation): alias read-through + chain
+_rd = tempfile.mkdtemp(prefix="rencol_")
+_t6 = LakeTable.create(spark, _rd + "/t", TRANSCRIPT_TABLE_SCHEMA,
+                       num_buckets=2, key_cols=KEY_COLS, sort_cols=KEY_COLS)
+_t6.append(FX.table_rows_df(spark, FX.make_transcripts(seed=13, n_convs=10, max_turns=4)))
+_orig = _t6.scan().filter("tool is not null").count()
+assert _orig > 0
+_t6.rename_column("tool", "tool_name")
+assert _t6.scan().filter("tool_name is not null").count() == _orig
+_t6.rename_column("tool_name", "tool_kind")
+assert _t6.scan().filter("tool_kind is not null").count() == _orig
+shutil.rmtree(_rd, ignore_errors=True)
+print("rename-column surface: OK")
