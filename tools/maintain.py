@@ -14,6 +14,8 @@ safe beside a running stream (conflict-detected where they rewrite data):
                     (HistoryTable; bucket-pruned via valid_to zone maps)
   tag               pin a named, vacuum-protected tag to the current (or
                     a given) snapshot version; delete-tag removes the pin
+  drop-column       metadata-only column drop (re-add = new masked column)
+  rename-column     metadata-only rename (old files read through an alias)
 
 plus one for the file-backed change log (``--log`` instead of ``--table``):
 
@@ -66,6 +68,11 @@ def main():
     p.add_argument("--replace", action="store_true")
     p = sub.add_parser("delete-tag")
     p.add_argument("--name", required=True)
+    p = sub.add_parser("drop-column")
+    p.add_argument("--name", required=True)
+    p = sub.add_parser("rename-column")
+    p.add_argument("--old", required=True)
+    p.add_argument("--new", required=True)
     p = sub.add_parser("vacuum-segments")
     p.add_argument("--checkpoint", action="append", required=True,
                    help="consumer checkpoint dir (repeatable; a segment is "
@@ -129,6 +136,12 @@ def main():
     elif args.op == "delete-tag":
         table.delete_tag(args.name)
         print(f"delete-tag: {args.name} removed")
+    elif args.op == "drop-column":
+        schema = table.drop_column(args.name)
+        print(f"drop-column: {args.name} ({len(schema.fields)} columns remain)")
+    elif args.op == "rename-column":
+        table.rename_column(args.old, args.new)
+        print(f"rename-column: {args.old} -> {args.new}")
 
 
 if __name__ == "__main__":
