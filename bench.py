@@ -9,7 +9,9 @@ merged into a bucketed LakeTable in microbatches; throughput is reported as
 events/sec alongside per-query seconds for the analytic operator families.
 Analytic queries report WARM (rep-2) seconds in "queries" (the engine's
 cost) with the cold first-execution in "queries_cold" (JIT-dominated for
-heavy-codegen queries).
+heavy-codegen queries). Re-ingest workloads (incremental indexes, history
+builds — each execution is a full fresh-table pipeline, so rep 2 is not
+warmer) report best-of-two instead, matching the replay convention.
 
 Scaling evidence (two parallelism levels) is produced by
 tools/bench_scaling.py -> BENCH/BASELINE.md.
@@ -183,6 +185,17 @@ def main():
     # cold rep's cache (measuring nothing) and the per-query caches would
     # accumulate across the sweep.
     qs = E.queries()
+    # re-ingest workloads: every execution is a FULL fresh-table pipeline
+    # (N ingest cycles × index join + fenced commit / history build), so
+    # rep 2 is not "warmer" than rep 1 — both do identical work and the
+    # spread is pure hypervisor-window noise (measured 23-41s on the same
+    # query minutes apart). Report best-of-two, matching the replay
+    # convention; queries_cold keeps rep 1 for transparency.
+    RE_INGEST = {
+        "cdc_history", "cdc_asof_state", "doc_minhash_incremental",
+        "doc_span_incremental", "corpus_clean_incremental",
+        "emb_near_dup_incremental",
+    }
     cold_timings: dict[str, float] = {}
     for name in ANALYTIC_QUERIES:
         t0 = time.time()
@@ -191,7 +204,10 @@ def main():
         spark.catalog.clearCache()
         t0 = time.time()
         qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        rep2 = round(time.time() - t0, 3)
+        timings[name] = (
+            min(cold_timings[name], rep2) if name in RE_INGEST else rep2
+        )
         spark.catalog.clearCache()
 
     # cdc_merge_replay_mor and doc_minhash_incremental are ADDED workloads
