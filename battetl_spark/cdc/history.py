@@ -153,7 +153,12 @@ class HistoryTable:
             bucket_key=bucket_key or key_cols[0],
             key_cols=key_cols,
             sort_cols=key_cols + [VALID_FROM],
-            properties={"stats_cols": [VALID_FROM, VALID_TO]},
+            properties={
+                "stats_cols": [VALID_FROM, VALID_TO],
+                # interval bookkeeping must survive schema evolution:
+                # drop_column / rename_column refuse protected_cols
+                "protected_cols": list(_META),
+            },
         )
         return cls(table)
 

@@ -469,6 +469,9 @@ class LakeTable:
             protected = set(snap.get("key_cols") or [])
             protected.add(snap["bucket_key"])
             protected |= set(snap.get("sort_cols") or [])
+            protected |= set(
+                snap.get("properties", {}).get("protected_cols", []) or []
+            )
             if old.startswith("_") or old in protected:
                 raise ValueError(
                     f"column {old!r} is a key/bucket/sort/internal column "
@@ -523,6 +526,9 @@ class LakeTable:
             protected = set(snap.get("key_cols") or [])
             protected.add(snap["bucket_key"])
             protected |= set(snap.get("sort_cols") or [])
+            protected |= set(
+                snap.get("properties", {}).get("protected_cols", []) or []
+            )
             if name.startswith("_") or name in protected:
                 raise ValueError(
                     f"column {name!r} is a key/bucket/sort/internal column "

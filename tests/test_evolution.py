@@ -249,3 +249,27 @@ def test_rename_column_refusals(spark, tmp_path, base_pdf):
                      ("tool", "role"), ("tool", "_x"), ("nope", "x")):
         with pytest.raises(ValueError):
             t.rename_column(old, new)
+
+
+def test_history_bookkeeping_columns_protected(spark, tmp_path):
+    """A HistoryTable's interval columns (op, valid_from_lsn, valid_to_lsn)
+    are protected_cols: drop/rename refuse them; payload columns still
+    evolve."""
+    from battetl_spark.cdc.history import HistoryTable
+
+    h = HistoryTable.create(
+        spark, str(tmp_path / "h"),
+        T.StructType([
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]),
+        key_cols=["conv_id", "turn_idx"], num_buckets=2,
+    )
+    for col in ("op", "valid_to_lsn", "valid_from_lsn"):
+        with pytest.raises(ValueError):
+            h.table.drop_column(col)
+        with pytest.raises(ValueError):
+            h.table.rename_column(col, "x")
+    h.table.rename_column("text", "body")  # payload evolution still allowed
+    assert "body" in [f.name for f in h.table.schema.fields]
