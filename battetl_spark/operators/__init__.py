@@ -4,6 +4,7 @@ from battetl_spark.operators.relational import (  # noqa: F401
     group_quantiles,
     range_join_count,
     retention,
+    rolling_active_users,
     sessionize,
     time_bucket_rollup,
 )

@@ -322,3 +322,52 @@ def group_quantiles(
             for q in qs
         ],
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window distinct actives (DAU/WAU/MAU family): for every
+    observation day, how many distinct users were active in the trailing
+    ``window_days`` days. Returns ``day (date), active_users``.
+
+    Exact distributed shape — no per-day count-distinct over raw events:
+    (1) distinct (user, day) activity (ONE partial-aggregated pair
+    shuffle); (2) each active day contributes to the ``window_days``
+    observation days it covers — a map-side explode of a constant 0..W-1
+    sequence, W× a user-day-distinct frame, not W× raw events; (3) the
+    observation-day bound (a one-row max) broadcasts back; (4) ONE more
+    distinct-pair shuffle on (obs_day, user) absorbs users active several
+    times inside a window, and the final count groups already-distinct
+    pairs. Window growth costs map-side fanout only — the W=30 MAU runs
+    the same two shuffles.
+
+    Reference analog: none; events-table analytics family of the build
+    brief.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    act = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            F.to_date(F.date_trunc("day", F.col(ts_col))).alias("__d"),
+        )
+        .distinct()
+    )
+    hi = act.agg(F.max("__d").alias("__hi"))
+    contrib = act.select(
+        "__u", "__d",
+        F.explode(F.sequence(F.lit(0), F.lit(int(window_days) - 1))).alias("__i"),
+    ).select("__u", F.expr("date_add(__d, __i)").alias("__od"))
+    return (
+        contrib.join(F.broadcast(hi))
+        .filter(F.col("__od") <= F.col("__hi"))
+        .select("__od", "__u")
+        .distinct()
+        .groupBy("__od")
+        .agg(F.count(F.lit(1)).cast("long").alias("active_users"))
+        .select(F.col("__od").alias("day"), "active_users")
+    )

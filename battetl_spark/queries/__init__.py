@@ -43,6 +43,7 @@ from battetl_spark.queries.relational import (  # noqa: F401
     q_event_funnel,
     q_event_retention,
     q_event_quantiles,
+    q_event_active_users,
     q_doc_corpus_profile,
 )
 from battetl_spark.queries.text import (  # noqa: F401

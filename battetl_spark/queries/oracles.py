@@ -623,6 +623,23 @@ _QUANTILES_SQL = """
 """
 
 
+# trailing-7-day distinct actives: same two-distinct shape as the Spark
+# operator (range is end-exclusive: i in 0..6; DATE + INT adds days)
+_ACTIVE_USERS_SQL = """
+    WITH act AS (
+      SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    bounds AS (SELECT max(d) AS hi FROM act),
+    contrib AS (
+      SELECT DISTINCT u, d + CAST(i AS INT) AS od
+      FROM act, LATERAL unnest(range(0, 7)) AS t(i)
+    )
+    SELECT strftime(od, '%Y-%m-%d') AS day, count(*)::BIGINT AS active_users
+    FROM contrib, bounds WHERE od <= hi GROUP BY od
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop = r"\b(the|a|and|of|to|in|is|it|for|on)\b"
     lang_scores = ", ".join(
@@ -1141,6 +1158,7 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _funnel_sql(_QR.FUNNEL_STEPS, _QR.FUNNEL_HORIZON_S),
         "event_retention": _RETENTION_SQL,
         "event_quantiles": _QUANTILES_SQL,
+        "event_active_users": _ACTIVE_USERS_SQL,
         "doc_frequent_ngrams": _frequent_ngrams_sql(_QT.FREQ_NGRAM_MIN_DF),
         "doc_corpus_profile": _CORPUS_PROFILE_SQL,
         "doc_tfidf_terms": _tfidf_sql(_QT.TFIDF_TOP_N),

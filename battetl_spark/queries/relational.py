@@ -136,3 +136,19 @@ def q_event_quantiles(spark, sf):
         F.round("p95", 6).alias("p95"),
         F.round("p99", 6).alias("p99"),
     )
+
+
+ACTIVE_WINDOW_DAYS = 7
+
+
+def q_event_active_users(spark, sf):
+    """Trailing-7-day distinct active users per day (WAU curve): two
+    distinct-pair shuffles + a broadcast bound — the window size costs
+    map-side fanout only, never a per-day count-distinct over raw
+    events."""
+    from battetl_spark.operators import rolling_active_users
+
+    out = rolling_active_users(
+        _t(spark, sf, "events"), window_days=ACTIVE_WINDOW_DAYS
+    )
+    return out.withColumn("day", F.date_format("day", "yyyy-MM-dd"))

@@ -225,3 +225,30 @@ def test_group_quantiles_exact_and_approx(spark):
     ap = group_quantiles(df, ["g"], "v", [0.5], approx=True).collect()
     assert {r["g"] for r in ap} == {"a", "b"}
     assert all(r["p50"] is not None and r["n"] > 0 for r in ap)
+
+
+def test_rolling_active_users_semantics(spark):
+    """Window covers the trailing W days inclusive; a user active twice in
+    one window counts once; observation days stop at the last active day."""
+    import datetime as dt
+
+    from battetl_spark.operators import rolling_active_users
+
+    rows = [
+        ("u1", dt.datetime(2026, 1, 1)),
+        ("u1", dt.datetime(2026, 1, 1, 8)),   # same day, same user
+        ("u2", dt.datetime(2026, 1, 2)),
+        ("u1", dt.datetime(2026, 1, 4)),       # u1 again inside the window
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        r["day"].isoformat(): r["active_users"]
+        for r in rolling_active_users(ev, window_days=3).collect()
+    }
+    # day: distinct users active in [day-2, day]
+    assert out == {
+        "2026-01-01": 1,          # u1
+        "2026-01-02": 2,          # u1, u2
+        "2026-01-03": 2,          # u1(1st), u2
+        "2026-01-04": 2,          # u2, u1(4th) — u1 counted once
+    }

@@ -556,3 +556,12 @@ _t6.rename_column("tool_name", "tool_kind")
 assert _t6.scan().filter("tool_kind is not null").count() == _orig
 shutil.rmtree(_rd, ignore_errors=True)
 print("rename-column surface: OK")
+
+# sliding-window distinct actives (round-5 continuation)
+_qs = E.queries()["event_active_users"](spark, sf).toPandas()
+_es = con.sql(E.oracle_sql()["event_active_users"]).df()
+_cs = sorted(_qs.columns)
+assert _cs == sorted(_es.columns)
+assert (_qs[_cs].sort_values(_cs).reset_index(drop=True).astype(str)
+        .equals(_es[_cs].sort_values(_cs).reset_index(drop=True).astype(str)))
+print("active-users surface: OK")
