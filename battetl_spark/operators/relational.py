@@ -329,6 +329,7 @@ def rolling_active_users(
     window_days: int = 7,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    approx: bool = False,
 ) -> DataFrame:
     """Sliding-window distinct actives (DAU/WAU/MAU family): for every
     observation day, how many distinct users were active in the trailing
@@ -345,16 +346,45 @@ def rolling_active_users(
     pairs. Window growth costs map-side fanout only — the W=30 MAU runs
     the same two shuffles.
 
+    ``approx=True`` is the sketch path for when even the user-day-distinct
+    frame is too hot: ONE Datasketches HLL sketch per active day (a
+    mergeable fixed-size binary, built with a single partial-aggregated
+    pass over raw events — no distinct at all), then the W-day fanout
+    moves only #days × sketch-bytes and ``hll_union_agg`` merges per
+    observation day. Documented ~2% relative error; NOT oracle-checked.
+
     Reference analog: none; events-table analytics family of the build
     brief.
     """
     if window_days < 1:
         raise ValueError(f"window_days must be >= 1, got {window_days}")
-    act = (
-        events.select(
-            F.col(user_col).alias("__u"),
-            F.to_date(F.date_trunc("day", F.col(ts_col))).alias("__d"),
+    day = F.to_date(F.date_trunc("day", F.col(ts_col)))
+    if approx:
+        daily = (
+            events.select(F.col(user_col).alias("__u"), day.alias("__d"))
+            .groupBy("__d")
+            .agg(F.hll_sketch_agg("__u").alias("__sk"))
         )
+        hi = daily.agg(F.max("__d").alias("__hi"))
+        contrib = daily.select(
+            "__sk", "__d",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(window_days) - 1))
+            ).alias("__i"),
+        ).select("__sk", F.expr("date_add(__d, __i)").alias("__od"))
+        return (
+            contrib.join(F.broadcast(hi))
+            .filter(F.col("__od") <= F.col("__hi"))
+            .groupBy("__od")
+            .agg(
+                F.hll_sketch_estimate(F.hll_union_agg("__sk"))
+                .cast("long")
+                .alias("active_users")
+            )
+            .select(F.col("__od").alias("day"), "active_users")
+        )
+    act = (
+        events.select(F.col(user_col).alias("__u"), day.alias("__d"))
         .distinct()
     )
     hi = act.agg(F.max("__d").alias("__hi"))

@@ -252,3 +252,29 @@ def test_rolling_active_users_semantics(spark):
         "2026-01-03": 2,          # u1(1st), u2
         "2026-01-04": 2,          # u2, u1(4th) — u1 counted once
     }
+
+
+def test_rolling_active_users_approx_close_to_exact(spark):
+    """The HLL sketch path (one mergeable sketch per day, W-day fanout of
+    sketch bytes, hll_union_agg per observation day) tracks the exact
+    distinct counts within the documented relative error."""
+    import datetime as dt
+
+    from battetl_spark.operators import rolling_active_users
+
+    rows = [
+        (f"u{i % 97}", dt.datetime(2026, 1, 1 + (i % 10), i % 24))
+        for i in range(2000)
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    exact = {
+        r["day"]: r["active_users"]
+        for r in rolling_active_users(ev, window_days=7).collect()
+    }
+    approx = {
+        r["day"]: r["active_users"]
+        for r in rolling_active_users(ev, window_days=7, approx=True).collect()
+    }
+    assert set(approx) == set(exact)
+    for d, n in exact.items():
+        assert abs(approx[d] - n) <= max(2, 0.05 * n), (d, n, approx[d])
