@@ -155,3 +155,41 @@ def test_textops_plan_shapes(spark):
     p = plan(E.q_ann_ivf_topk(spark, SF))
     assert "WindowGroupLimit" in p     # top-k pushed below the rank filter
     assert "partial_avg" in p          # centroids combine map-side
+
+
+def test_retention_broadcast_sizes_no_raw_window(spark):
+    """Cohort retention: the cohort-size attach must be a BroadcastHashJoin
+    (the grid's offset-0 slice is tiny), and no Window over raw events
+    appears anywhere — the operator is pure aggregate ladder + joins."""
+    out = E.queries()["event_retention"](spark, SF)
+    p = plan(out, "simple")
+    assert "BroadcastHashJoin" in p, "cohort sizes must broadcast back"
+    assert "Window" not in p, "retention must not window raw events"
+
+
+def test_group_quantiles_single_window_partial_agg(spark):
+    """Exact quantiles: exactly ONE window pass (the per-group sort is paid
+    once for all requested quantiles) followed by a partial aggregate."""
+    from battetl_spark.operators import group_quantiles
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = group_quantiles(ev, ["event_type"], "value", [0.5, 0.95, 0.99])
+    p = plan(out, "simple")
+    assert p.count("Window") == 1, "all quantiles must share one sort window"
+    assert "partial_count" in p or "HashAggregate" in p
+    ap = plan(
+        group_quantiles(ev, ["event_type"], "value", [0.5], approx=True),
+        "simple",
+    )
+    assert "Window" not in ap, "approx path must not sort"
+
+
+def test_active_users_no_per_day_count_distinct(spark):
+    """Sliding actives: the plan must contain NO expand-based count-distinct
+    (the counts group already-distinct pairs) and the observation bound
+    must broadcast."""
+    out = E.queries()["event_active_users"](spark, SF)
+    p = plan(out, "simple")
+    assert "count(distinct" not in p.lower(), "must count distinct pairs, not expand"
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "Window" not in p
