@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_retention": q_event_retention,
         "event_quantiles": q_event_quantiles,
         "event_active_users": q_event_active_users,
+        "event_pivot": q_event_pivot,
         "doc_corpus_profile": q_doc_corpus_profile,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_token_count": q_doc_token_count,

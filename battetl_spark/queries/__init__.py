@@ -44,6 +44,7 @@ from battetl_spark.queries.relational import (  # noqa: F401
     q_event_retention,
     q_event_quantiles,
     q_event_active_users,
+    q_event_pivot,
     q_doc_corpus_profile,
 )
 from battetl_spark.queries.text import (  # noqa: F401

@@ -640,6 +640,18 @@ _ACTIVE_USERS_SQL = """
 """
 
 
+# explicit-values pivot == one pass of conditional counts
+_PIVOT_SQL = """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS n_click,
+           count(*) FILTER (event_type = 'error')    AS n_error,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'signup')   AS n_signup,
+           count(*) FILTER (event_type = 'view')     AS n_view
+    FROM events GROUP BY user_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop = r"\b(the|a|and|of|to|in|is|it|for|on)\b"
     lang_scores = ", ".join(
@@ -1159,6 +1171,7 @@ def oracle_sql() -> dict[str, str]:
         "event_retention": _RETENTION_SQL,
         "event_quantiles": _QUANTILES_SQL,
         "event_active_users": _ACTIVE_USERS_SQL,
+        "event_pivot": _PIVOT_SQL,
         "doc_frequent_ngrams": _frequent_ngrams_sql(_QT.FREQ_NGRAM_MIN_DF),
         "doc_corpus_profile": _CORPUS_PROFILE_SQL,
         "doc_tfidf_terms": _tfidf_sql(_QT.TFIDF_TOP_N),

@@ -152,3 +152,25 @@ def q_event_active_users(spark, sf):
         _t(spark, sf, "events"), window_days=ACTIVE_WINDOW_DAYS
     )
     return out.withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_pivot(spark, sf):
+    """Per-user event-type PIVOT (counts per type as columns), realized as
+    explicit conditional counts in ONE partial-aggregated groupBy — every
+    cell folds map-side before the single Exchange. Deliberately NOT
+    DataFrame.pivot(): even with explicit values it compiles to TWO
+    aggregation passes (groupBy(user, type) count + pivotfirst, two
+    Exchanges, plan read); known pivot values make the conditional form
+    strictly better at scale. Plan-pinned single Exchange."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1))
+            .cast("long")
+            .alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ]
+    )

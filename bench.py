@@ -113,6 +113,7 @@ ANALYTIC_QUERIES = [
     "event_retention",
     "event_quantiles",
     "event_active_users",
+    "event_pivot",
     "doc_corpus_profile",
     "doc_frequent_ngrams",
     "doc_tfidf_terms",
@@ -220,7 +221,7 @@ def main():
          "doc_dup_clusters", "doc_decontaminate", "doc_repetition",
          "doc_span_stats", "doc_span_dedup", "doc_span_incremental",
          "event_funnel", "event_retention", "event_quantiles",
-         "event_active_users", "doc_corpus_profile",
+         "event_active_users", "event_pivot", "doc_corpus_profile",
          "doc_frequent_ngrams",
          "doc_tfidf_terms", "doc_split_assign",
          "cdc_history", "cdc_asof_state", "doc_pack_sequences", "doc_pack_chunks"}

@@ -193,3 +193,12 @@ def test_active_users_no_per_day_count_distinct(spark):
     assert "count(distinct" not in p.lower(), "must count distinct pairs, not expand"
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "Window" not in p
+
+
+def test_pivot_single_exchange_no_distinct_job(spark):
+    """Explicit-values pivot: one partial-aggregated groupBy — exactly one
+    Exchange, and no expand-based count-distinct."""
+    out = E.queries()["event_pivot"](spark, SF)
+    p = plan(out, "simple")
+    assert p.count("Exchange") == 1, "pivot must be one aggregation pass"
+    assert "Expand" not in p

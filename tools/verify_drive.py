@@ -565,3 +565,12 @@ assert _cs == sorted(_es.columns)
 assert (_qs[_cs].sort_values(_cs).reset_index(drop=True).astype(str)
         .equals(_es[_cs].sort_values(_cs).reset_index(drop=True).astype(str)))
 print("active-users surface: OK")
+
+# relational pivot as single-pass conditional counts (round-5 continuation)
+_qs = E.queries()["event_pivot"](spark, sf).toPandas()
+_es = con.sql(E.oracle_sql()["event_pivot"]).df()
+_cs = sorted(_qs.columns)
+assert _cs == sorted(_es.columns)
+assert (_qs[_cs].sort_values(_cs).reset_index(drop=True).astype(str)
+        .equals(_es[_cs].sort_values(_cs).reset_index(drop=True).astype(str)))
+print("pivot surface: OK")
