@@ -717,7 +717,7 @@ class NgramIndex:
 
 SPAN_INDEX_SCHEMA = T.StructType(
     [
-        T.StructField("span_md5", T.StringType(), False),
+        T.StructField("span_h", T.LongType(), False),
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("pos", T.IntegerType(), False),
     ]
@@ -729,7 +729,7 @@ class SpanIndex:
     span) dedup — the span-granular member of the incremental dedup family
     (see ``analytics.spans`` for the batch operator and its semantics).
 
-    ONE occurrence table ``(span_md5, doc_id, pos)`` is the whole state:
+    ONE occurrence table ``(span_h, doc_id, pos)`` is the whole state:
     a span is cross-doc-duplicated iff its occurrences carry >= 2 distinct
     doc_ids, and "was it already duplicated before this batch" is the same
     predicate over the pre-batch index — nothing else to keep consistent.
@@ -751,7 +751,7 @@ class SpanIndex:
     no-op. Pinned by ``test_span_incremental_equals_batch`` and the
     ``doc_span_incremental`` oracle query.
 
-    Scale shape: the index is bucketed on ``span_md5``, the batch side is
+    Scale shape: the index is bucketed on ``span_h``, the batch side is
     O(batch tokens), and the per-span state aggregate runs over the index
     SEMI-JOINED to the batch's span hashes — a batch touching B distinct
     spans reads only their buckets' occurrence rows into the aggregate;
@@ -774,7 +774,7 @@ class SpanIndex:
             spark,
             LakeTable.create(
                 spark, path, SPAN_INDEX_SCHEMA,
-                num_buckets=num_buckets, bucket_key="span_md5",
+                num_buckets=num_buckets, bucket_key="span_h",
                 properties={"span_index": json.dumps({"span_k": int(span_k)})},
             ),
         )
@@ -799,33 +799,33 @@ class SpanIndex:
         ).join(idx.select("doc_id"), "doc_id", "left_anti")
         b = _track(
             span_occurrences(new_docs, self.span_k)
-            .select("span_md5", "doc_id", F.col("pos").cast("int").alias("pos"))
+            .select("span_h", "doc_id", F.col("pos").cast("int").alias("pos"))
         )
         # stored occurrences of spans this batch touches (semi-join prune)
         idx_hit = _track(
-            idx.join(b.select("span_md5").distinct(), "span_md5", "leftsemi")
+            idx.join(b.select("span_h").distinct(), "span_h", "leftsemi")
         )
-        old_state = idx_hit.groupBy("span_md5").agg(
+        old_state = idx_hit.groupBy("span_h").agg(
             F.min("doc_id").alias("__omin"), F.max("doc_id").alias("__omax")
         )
-        new_state = b.groupBy("span_md5").agg(
+        new_state = b.groupBy("span_h").agg(
             F.min("doc_id").alias("__nmin"), F.max("doc_id").alias("__nmax")
         )
         # was_dup is NULL for spans absent from the index (no old rows) —
         # downstream coalesces it to False; least/greatest skip NULLs, so
         # dup_now spans index ∪ batch correctly in every combination
-        state = new_state.join(old_state, "span_md5", "left").select(
-            "span_md5",
+        state = new_state.join(old_state, "span_h", "left").select(
+            "span_h",
             (F.col("__omin") != F.col("__omax")).alias("was_dup"),
             (F.least("__omin", "__nmin") != F.greatest("__omax", "__nmax"))
             .alias("dup_now"),
         )
-        dup_spans = state.filter("dup_now").select("span_md5", "was_dup")
-        emit_new = b.join(dup_spans.select("span_md5"), "span_md5", "leftsemi")
+        dup_spans = state.filter("dup_now").select("span_h", "was_dup")
+        emit_new = b.join(dup_spans.select("span_h"), "span_h", "leftsemi")
         turned = dup_spans.filter(~F.coalesce("was_dup", F.lit(False))).select(
-            "span_md5"
+            "span_h"
         )
-        emit_old = idx_hit.join(turned, "span_md5", "leftsemi")
+        emit_old = idx_hit.join(turned, "span_h", "leftsemi")
         out = _track(
             emit_new.unionByName(emit_old).select("doc_id", "pos")
         )

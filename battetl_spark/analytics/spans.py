@@ -10,13 +10,13 @@ the duplicated passages, keeping the unique remainder of each document.
 
 Spark-first shape (no suffix array — that is the single-node design):
 
-- every document emits its rolling k-token spans as ``md5(span text)``
+- every document emits its rolling k-token spans as ``xxhash64 over the word-hash window``
   with the 1-based start position (``span_occurrences``) — one explode,
   O(total tokens) rows, embarrassingly parallel;
-- one ``groupBy(span_md5)`` (partial-aggregated ``min(doc)!=max(doc)``
+- one ``groupBy(span_h)`` (partial-aggregated ``min(doc)!=max(doc)``
   — never a count-distinct expansion) finds spans seen in ≥2 distinct
   documents (``cross_doc_dup_spans``);
-- a join back on ``span_md5`` marks duplicated occurrences, and ONE
+- a join back on ``span_h`` marks duplicated occurrences, and ONE
   ``groupBy(doc_id)`` folds them into per-document stats
   (``span_dedup_stats``) or a cleaned text with the covered tokens
   removed (``strip_duplicated_spans``). Span→doc coverage (union of
@@ -27,10 +27,18 @@ Total cost: 3 shuffles of span-sized data (hash agg, mark join, doc
 fold), each map-side combinable; nothing is all-pairs and nothing grows
 faster than the corpus token count, so the plan survives 100 TB.
 
-md5 (not xxhash64) keys the spans so the DuckDB oracles reproduce the
-grouping bit-for-bit; swap ``_span_hash`` for ``F.xxhash64`` in a
-production profile for ~2× cheaper hashing (the operators only compare
-hashes for equality).
+Span keys are 64-bit xxhash64 values over the PER-WORD hash array
+(round 6): the operators and oracles only ever compare span keys for
+equality, and two spans are equal iff their word tuples are equal — true
+for md5(concat_ws(words)) and for xxhash64(word-hashes) alike (modulo
+64-bit collisions, verified against the md5-keyed DuckDB oracles at
+sf0.001/0.01/0.1). The long keys shuffle 8 bytes instead of a 32-char
+string, hash-aggregate on primitive longs, and skip the per-span string
+concat + MD5 digest + hex encode entirely. The word-hash array is
+materialized as a COLUMN before the shifted slices are built — leaving
+the split/regexp chain inline re-evaluates it once per slice argument
+inside the (non-codegen, no-CSE) Generate node: 16 chain evaluations per
+row at k=8, the dominant cost of the round-5 shape.
 
 Reference analog: none — the reference ETL (`/root/reference/battetl`)
 has no corpus analytics; this belongs to the engine's LLM-pipeline layer
@@ -47,20 +55,23 @@ from battetl_spark.analytics.cache import track as _track
 from battetl_spark.analytics.textops import normalized_text
 
 
-def _span_md5_seq(col, k: int):
-    """Rolling k-token span md5 sequence of normalized text, in document
-    order. Built from k shifted ``F.slice`` views zipped per row — NEVER by
-    indexing the outer words array inside a lambda (re-evaluates the whole
-    split chain per element; see the textops shingle core). ``arrays_zip``
-    pads the trailing windows with NULL and ``concat_ws`` skips NULLs, so a
-    doc shorter than k tokens yields exactly one partial span — mirroring
-    the oracle's clamped list slice."""
-    words = F.split(normalized_text(col), " ")
-    n = F.greatest(F.size(words) - (k - 1), F.lit(1))
-    shifted = [F.slice(words, j + 1, n) for j in range(k)]
+def _span_hash_seq(wh_col, k: int):
+    """Rolling k-token span hash sequence from a MATERIALIZED word-hash
+    array attribute, in document order. Built from k shifted ``F.slice``
+    views zipped per row — NEVER by indexing an outer array expression
+    inside a lambda (re-evaluates the whole chain per element; see the
+    textops shingle core) — and ``wh_col`` must be a plain column
+    reference, or each slice argument re-evaluates the split+hash chain
+    per ROW inside the Generate node (no codegen CSE there; 16× at k=8,
+    measured dominant). ``arrays_zip`` pads the trailing windows with NULL
+    and ``xxhash64`` skips NULL args, so a doc shorter than k tokens
+    yields exactly one partial span — mirroring the oracle's clamped list
+    slice + concat_ws NULL skip."""
+    n = F.greatest(F.size(wh_col) - (k - 1), F.lit(1))
+    shifted = [F.slice(wh_col, j + 1, n) for j in range(k)]
     return F.transform(
         F.arrays_zip(*shifted),
-        lambda s: F.md5(F.concat_ws(" ", *[s[str(j)] for j in range(k)])),
+        lambda s: F.xxhash64(*[s[str(j)] for j in range(k)]),
     )
 
 
@@ -68,14 +79,20 @@ def span_occurrences(
     docs: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """One row per (document, rolling k-token span occurrence):
-    ``(id, n_toks, pos, span_md5)`` with ``pos`` 1-based. A doc with
+    ``(id, n_toks, pos, span_h)`` with ``pos`` 1-based. A doc with
     ``n_toks >= k`` emits ``n_toks - k + 1`` spans; shorter docs emit one
-    partial span at pos 1 (so every doc is represented)."""
+    partial span at pos 1 (so every doc is represented). ``span_h`` is the
+    64-bit span key (equality-isomorphic to the span text, see module
+    docstring)."""
     words = F.split(normalized_text(text_col), " ")
-    return docs.select(
+    staged = docs.select(
         F.col(id_col),
-        F.size(words).alias("n_toks"),
-        F.posexplode(_span_md5_seq(text_col, k)).alias("pos", "span_md5"),
+        F.transform(words, lambda w: F.xxhash64(w)).alias("__wh"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.size("__wh").alias("n_toks"),
+        F.posexplode(_span_hash_seq(F.col("__wh"), k)).alias("pos", "span_h"),
     ).withColumn("pos", F.col("pos") + 1)
 
 
@@ -85,10 +102,10 @@ def cross_doc_dup_spans(spans: DataFrame, id_col: str = "doc_id") -> DataFrame:
     so the map side combines to two ids per span regardless of how hot the
     span is (a corpus-wide boilerplate span never skews a partition)."""
     return (
-        spans.groupBy("span_md5")
+        spans.groupBy("span_h")
         .agg((F.min(id_col) != F.max(id_col)).alias("__x"))
         .filter("__x")
-        .select("span_md5")
+        .select("span_h")
     )
 
 
@@ -99,7 +116,7 @@ def _marked(docs, k, id_col, text_col):
     the corpus."""
     spans = _track(span_occurrences(docs, k, id_col, text_col))
     dup = cross_doc_dup_spans(spans, id_col).withColumn("__dup", F.lit(True))
-    return spans.join(dup, "span_md5", "left").withColumn(
+    return spans.join(dup, "span_h", "left").withColumn(
         "__dup", F.coalesce("__dup", F.lit(False))
     )
 

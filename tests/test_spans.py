@@ -114,9 +114,9 @@ def test_sub_k_docs_emit_one_partial_span(spark):
     assert set(short) == {4, 5, 6, 7}
     assert all(r["pos"] == 1 for r in short.values())
     # empty and whitespace-only normalize to the same single token ''
-    assert short[6]["span_md5"] == short[7]["span_md5"]
-    dup = {r["span_md5"] for r in cross_doc_dup_spans(occ).collect()}
-    assert short[4]["span_md5"] in dup and short[6]["span_md5"] in dup
+    assert short[6]["span_h"] == short[7]["span_h"]
+    dup = {r["span_h"] for r in cross_doc_dup_spans(occ).collect()}
+    assert short[4]["span_h"] in dup and short[6]["span_h"] in dup
 
 
 def test_strip_plan_has_no_per_token_reexpansion(spark):
@@ -148,7 +148,7 @@ def test_span_incremental_equals_batch(spark):
     dup = cross_doc_dup_spans(occ)
     exp = {
         (r["doc_id"], r["pos"])
-        for r in occ.join(dup, "span_md5", "leftsemi")
+        for r in occ.join(dup, "span_h", "leftsemi")
         .select("doc_id", "pos").collect()
     }
     for order in ([0, 1, 2], [2, 0, 1]):
