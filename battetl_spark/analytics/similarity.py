@@ -230,9 +230,29 @@ def _plane_signature(v: DataFrame, id_col: str, n_planes: int) -> DataFrame:
     as SQL STRINGS (one parser call each) instead of Column-object
     composition: each F.xx call is a py4j round-trip, and the ~1000 calls of
     the Column version cost ~1.7s of DRIVER build per query (measured) —
-    the expr() build is ~50ms. Plane sign (p, pos) derives from
-    xxhash64(p, pos) parity: deterministic in-engine, O(planes) plan nodes
-    instead of O(planes×dim) literals."""
+    the expr() build is ~50ms.
+
+    Plane sign (p, pos) derives from xxhash64(p, pos) parity —
+    deterministic in-engine, O(planes) plan nodes instead of O(planes×dim)
+    literals. Round 6: the sign depends only on (p, pos), so it is
+    precomputed into a dim-row broadcast frame (``__pos``, array<int> signs)
+    joined to the exploded rows, instead of re-hashing inside every sum:
+    the old shape evaluated n_planes xxhash64+pmod per (vector, dim) row —
+    N·dim·planes hashes, ~185M at sf1 — the new one dim·planes. The sign
+    expression is value- and type-identical (``xxhash64(<p:int literal>,
+    <pos:int>)``), so the signatures (and therefore buckets, candidates and
+    output) are bit-for-bit unchanged — pinned by the unchanged oracles.
+    One tiny max-size aggregate sizes the frame (covers ragged corpora;
+    empty input → empty frame)."""
+    spark = v.sparkSession
+    dim = int(v.agg(F.max(F.size("__v"))).first()[0] or 0)
+    signs = spark.range(dim).selectExpr(
+        "CAST(id AS INT) AS __pos",
+        "array(" + ", ".join(
+            f"CAST(1 - 2 * pmod(xxhash64({p}, CAST(id AS INT)), 2) AS INT)"
+            for p in range(n_planes)
+        ) + ") AS __sg",
+    )
     return (
         v.select(
             id_col,
@@ -240,13 +260,11 @@ def _plane_signature(v: DataFrame, id_col: str, n_planes: int) -> DataFrame:
                 F.transform("__v", lambda x: F.floor(x * QUANT))
             ).alias("__pos", "__q"),
         )
+        .join(F.broadcast(signs), "__pos")
         .groupBy(id_col)
         .agg(
             *[
-                F.expr(
-                    f"sum((1 - 2 * pmod(xxhash64({p}, __pos), 2)) * __q)"
-                    f" AS __d{p}"
-                )
+                F.expr(f"sum(element_at(__sg, {p + 1}) * __q) AS __d{p}")
                 for p in range(n_planes)
             ]
         )
