@@ -49,7 +49,7 @@ from battetl_spark.analytics.textops import (
     _exact_jaccard_over,
     minhash_signatures_from_shingles,
     simhash_signatures,
-    word_shingle_hashes,
+    shingle_sets,
 )
 from battetl_spark.lake import LakeTable
 
@@ -132,9 +132,7 @@ class MinHashIndex:
         # the appended sh column read it (unpersisted shingles would run
         # the corpus pipeline twice)
         batch_sh = _track(
-            new_docs.select(
-                "doc_id", word_shingle_hashes("text", self.shingle_k).alias("sh")
-            )
+            shingle_sets(new_docs, self.shingle_k, "doc_id", "text")
         )
         batch_sigs = minhash_signatures_from_shingles(
             batch_sh, "doc_id", self.num_hashes
@@ -216,9 +214,7 @@ class MinHashIndex:
 
         # ONE shingle build for the batch; signatures derive from it
         batch_sh = _track(
-            new_docs.select(
-                "doc_id", word_shingle_hashes("text", self.shingle_k).alias("sh")
-            )
+            shingle_sets(new_docs, self.shingle_k, "doc_id", "text")
         )
         batch_sigs = _track(
             minhash_signatures_from_shingles(batch_sh, "doc_id", self.num_hashes)
@@ -672,12 +668,8 @@ class NgramIndex:
             F.col(text_col).alias("text"),
         ).join(index.select("doc_id"), "doc_id", "left_anti")
         batch_sh = _track(
-            new_docs.select(
-                "doc_id",
-                F.array_sort(
-                    word_shingle_hashes("text", self.shingle_k)
-                ).alias("sh"),
-            )
+            shingle_sets(new_docs, self.shingle_k, "doc_id", "text")
+            .select("doc_id", F.array_sort("sh").alias("sh"))
         )
         pfx_new = self._prefix_rows(batch_sh, threshold).alias("a")
         pfx_all = (

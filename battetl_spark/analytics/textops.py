@@ -142,7 +142,11 @@ def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Repetition-heavy machine-generated text scores high on both; a corpus
     filter composes as ``.filter(top_bigram_frac < τ)``.
     """
-    bg = F.array_sort(_word_shingle_hash_seq(text_col, 2))
+    # stage the word-hash array ONCE: the bigram AND trigram views both
+    # derive from it (5 slice references + 2 sizes — inline, the chain
+    # would re-evaluate 7× per row)
+    staged = docs.withColumn("__wh", word_hash_array(text_col))
+    bg = F.array_sort(shingle_hash_seq_from(F.col("__wh"), 2))
     zero = F.struct(
         F.lit(None).cast("long").alias("prev"),
         F.lit(0).alias("cur"),
@@ -160,15 +164,15 @@ def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
 
     top_run = F.aggregate(bg, zero, step, lambda a: a["best"])
-    tg = _word_shingle_hash_seq(text_col, 3)
-    return docs.withColumns({
+    tg = shingle_hash_seq_from(F.col("__wh"), 3)
+    return staged.withColumns({
         "top_bigram_frac": F.round(
             top_run.cast("double") / F.size(bg), 6
         ),
         "dup_trigram_frac": F.round(
             F.lit(1.0) - F.size(F.array_distinct(tg)).cast("double") / F.size(tg), 6
         ),
-    })
+    }).drop("__wh")
 
 
 # -------------------------------------------------------------- language id
@@ -221,24 +225,81 @@ def _char_shingles(col, k: int):
     return F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(c, i, k))
 
 
-def _word_shingle_hash_seq(col, k: int):
-    """The (non-distinct) k-word shingle hash SEQUENCE in document order —
-    the shared core of ``word_shingle_hashes`` (set semantics) and the
-    repetition features (occurrence semantics)."""
+def word_hash_array(col):
+    """Per-word xxhash64 array of normalized text. MATERIALIZE this as a
+    COLUMN (one select stage) before deriving shingle views from it: the
+    higher-order shingle expressions are CodegenFallback (no whole-stage
+    CSE), so an inline chain re-evaluates the normalize+split+hash subtree
+    once per slice argument — k+1 times per row. Staging it was the round-6
+    fix for the sf1 minhash shingle build (13-16 s of the 16 s operator)."""
     words = F.split(normalized_text(col), " ")
-    wh = F.transform(words, lambda w: F.xxhash64(w))
+    return F.transform(words, lambda w: F.xxhash64(w))
+
+
+def shingle_hash_seq_from(wh_col, k: int):
+    """Rolling k-word shingle hash SEQUENCE (occurrence semantics, document
+    order) from a word-hash array — pass a MATERIALIZED column reference,
+    see ``word_hash_array``. k shifted slices zipped per ROW — never index
+    into the array inside a lambda: a lambda-body reference to an outer
+    array expression is re-evaluated per element (the whole chain, O(len²)
+    per doc — measured 5×+ of the round-1 bench). arrays_zip pads short
+    slices with NULL and xxhash64 skips NULL args, so short docs yield one
+    partial shingle (mirroring concat_ws's null-skip in the SQL oracle)."""
+    wh = F.col(wh_col) if isinstance(wh_col, str) else wh_col
     n = F.greatest(F.size(wh) - (k - 1), F.lit(1))
-    # k shifted slices zipped per ROW — never index into wh inside a lambda:
-    # a lambda-body reference to an outer array expression is re-evaluated
-    # per element (the whole split+regexp+hash chain, O(len²) per doc —
-    # measured 5×+ of the round-1 bench). Slices evaluate wh k times per row,
-    # O(len·k) total. arrays_zip pads short slices with NULL and xxhash64
-    # skips NULL args, so short docs yield one partial shingle (mirroring
-    # concat_ws's null-skip in the SQL oracle).
     shifted = [F.slice(wh, j + 1, n) for j in range(k)]
     return F.transform(
         F.arrays_zip(*shifted),
         lambda s: F.xxhash64(*[s[str(j)] for j in range(k)]),
+    )
+
+
+def _word_shingle_hash_seq(col, k: int):
+    """Inline (single-expression) shingle hash sequence — only for call
+    sites that cannot stage the word-hash array as a column; corpus-scale
+    consumers use ``word_hash_array`` + ``shingle_hash_seq_from``."""
+    return shingle_hash_seq_from(word_hash_array(col), k)
+
+
+def shingle_sets(
+    docs: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(id, sh: array<long>)`` distinct-shingle frame with the word-hash
+    array staged as a column (two-Project shape; CollapseProject keeps the
+    stage because the array is referenced k+1 times by non-cheap slices).
+    Equivalent to ``docs.select(id, word_shingle_hashes(text, k))`` row for
+    row — same expressions, evaluated once instead of k+1 times."""
+    staged = docs.select(
+        F.col(id_col), word_hash_array(text_col).alias("__wh")
+    )
+    return staged.select(
+        F.col(id_col),
+        F.array_distinct(shingle_hash_seq_from("__wh", k)).alias("sh"),
+    )
+
+
+def exploded_shingles(
+    docs: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text",
+    out_col: str = "g",
+) -> DataFrame:
+    """``(id, out_col)`` — one row per DISTINCT shingle hash per document,
+    for single-pass consumers that never need the array. The word-hash
+    array is staged (chain evaluated once) but the generator child stays a
+    COMPLEX expression over that attribute: exploding a *plain* staged
+    column triggers InferFiltersFromGenerate, whose ``size(col) > 0``
+    filter is then substitution-pushed through the staging Projects and
+    re-inlines the whole chain (twice) into the scan Filter — measured
+    2.3× slower than the round-5 inline shape on decontaminate; this
+    shape dodges the rule (it skips non-attribute children) while keeping
+    the one-evaluation staging."""
+    staged = docs.select(
+        F.col(id_col), word_hash_array(text_col).alias("__wh")
+    )
+    return staged.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingle_hash_seq_from("__wh", k))
+        ).alias(out_col),
     )
 
 
@@ -251,6 +312,8 @@ def word_shingle_hashes(col, k: int):
     their word tuples match (modulo 64-bit collisions), so set operations on
     the hash arrays are isomorphic to set operations on shingle strings —
     which is what makes exact-Jaccard verification oracle-expressible.
+    Column-shaped (inline) variant — prefer ``shingle_sets`` for corpus
+    passes (see ``word_hash_array`` for why).
     """
     return F.array_distinct(_word_shingle_hash_seq(col, k))
 
@@ -271,20 +334,14 @@ def minhash_signatures(
     aggregates (map-side combinable). K array-expressions over an inline
     shingle expr would re-expand the shingle construction K times —
     catastrophic expression blowup (measured 100×)."""
-    with_sh = docs.select(
-        F.col(id_col), word_shingle_hashes(text_col, shingle_k).alias("sh")
-    )
-    return minhash_signatures_from_shingles(with_sh, id_col, num_hashes)
+    sh = exploded_shingles(docs, shingle_k, id_col, text_col, "__s")
+    return _signatures_from_exploded(sh, id_col, num_hashes)
 
 
-def minhash_signatures_from_shingles(
-    with_sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 32
+def _signatures_from_exploded(
+    sh: DataFrame, id_col: str, num_hashes: int
 ) -> DataFrame:
-    """Signatures from an (id, sh: array<long>) shingle frame — lets a
-    caller that also needs the shingle sets (exact verify) persist ONE
-    shingle build and derive both from it instead of shingling the corpus
-    twice (round-5: one full corpus pass saved in minhash_lsh_pairs)."""
-    sh = with_sh.select(F.col(id_col), F.explode("sh").alias("__s"))
+    """K permuted min-hashes from an (id, __s) exploded-shingle frame."""
     # SQL-string aggregates: one parser call each instead of ~4 py4j calls
     # each (driver-build cost, see simhash_signatures)
     aggs = [
@@ -295,6 +352,21 @@ def minhash_signatures_from_shingles(
         f"`{id_col}`",
         f"array({', '.join(f'__h{i}' for i in range(num_hashes))}) AS minhash",
     )
+
+
+def minhash_signatures_from_shingles(
+    with_sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 32
+) -> DataFrame:
+    """Signatures from an (id, sh: array<long>) shingle frame — lets a
+    caller that also needs the shingle sets (exact verify) persist ONE
+    shingle build and derive both from it instead of shingling the corpus
+    twice (round-5: one full corpus pass saved in minhash_lsh_pairs).
+    Callers pass a PERSISTED frame (every in-repo call site does): explode
+    of a plain unpersisted staged column would re-inline the shingle chain
+    into scan filters via InferFiltersFromGenerate (see
+    ``exploded_shingles``)."""
+    sh = with_sh.select(F.col(id_col), F.explode("sh").alias("__s"))
+    return _signatures_from_exploded(sh, id_col, num_hashes)
 
 
 def _banded(
@@ -435,9 +507,7 @@ def minhash_lsh_pairs(
     # ONE shingle build for the whole operator: the signature pipeline and
     # the exact-verify join both derive from this persisted frame (shingling
     # is the linear floor of the operator — don't pay it twice)
-    with_sh = _track(docs.select(
-        F.col(id_col), word_shingle_hashes(text_col, shingle_k).alias("sh")
-    ))
+    with_sh = _track(shingle_sets(docs, shingle_k, id_col, text_col))
     # signature store: banding references sigs on both join sides; persist
     # or every side re-explodes + re-minhashes the shingles (K aggregates
     # over the full token stream). N×(id, K longs).
@@ -504,10 +574,7 @@ def ngram_jaccard_pairs(
     (``order_by='hash'`` skips the frequency pass — two fewer shuffles —
     for corpora with near-uniform token frequencies)."""
     if order_by == "frequency":
-        tok = docs.select(
-            F.col(id_col),
-            F.explode(word_shingle_hashes(text_col, shingle_k)).alias("__s"),
-        )
+        tok = exploded_shingles(docs, shingle_k, id_col, text_col, "__s")
         dfreq = tok.groupBy("__s").agg(F.count("*").alias("__df"))
         with_sh = (
             tok.join(dfreq, "__s")
@@ -523,9 +590,8 @@ def ngram_jaccard_pairs(
             )
         )
     else:
-        with_sh = docs.select(
-            F.col(id_col),
-            F.array_sort(word_shingle_hashes(text_col, shingle_k)).alias("sh"),
+        with_sh = shingle_sets(docs, shingle_k, id_col, text_col).select(
+            F.col(id_col), F.array_sort("sh").alias("sh")
         )
     # with_sh is referenced FOUR times (both prefix self-join sides + both
     # verify sides); for the frequency ordering it is itself a multi-shuffle
@@ -604,14 +670,13 @@ def decontaminate(
     isomorphic to string shingles (what the DuckDB oracle computes).
     """
     ev = (
-        eval_docs.select(F.explode(word_shingle_hashes(text_col, k)).alias("g"))
+        exploded_shingles(eval_docs, k, id_col, text_col)
+        .select("g")
         .distinct()
     )
     if broadcast_eval:
         ev = F.broadcast(ev)
-    tr = docs.select(
-        F.col(id_col), F.explode(word_shingle_hashes(text_col, k)).alias("g")
-    )
+    tr = exploded_shingles(docs, k, id_col, text_col)
     # per-doc shingles and ev are both distinct → count(*) = distinct shared
     return tr.join(ev, "g").groupBy(id_col).agg(
         F.count("*").alias("n_shared")
@@ -701,16 +766,27 @@ def simhash_signatures(
     # STRINGS (one parser round-trip each) rather than Column composition —
     # the ~500 py4j calls of the Column build cost ~1.2s of DRIVER time per
     # query (same lesson as the embedding signature build, similarity.py)
+    #
+    # round 6: md5 runs once per DISTINCT (doc, token), not per occurrence —
+    # a partial-aggregated groupBy(doc, token) count first, then the votes
+    # weight each token's ±1 bit by its count. sum(±1 over occurrences) ==
+    # sum(±1 × count over distinct tokens) exactly (integer arithmetic), so
+    # signatures are bit-for-bit unchanged while the md5+digit-extract work
+    # drops by the corpus's token-repetition factor (the extra shuffle
+    # carries only distinct (doc, token, count) rows, map-side combined).
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("__t"),
-    ).selectExpr(f"`{id_col}`", "md5(__t) AS __h")
+    )
+    cnts = toks.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__c"))
+    hashed = cnts.selectExpr(f"`{id_col}`", "__c", "md5(__t) AS __h")
 
     # hex digit value via ascii arithmetic: '0'-'9' → 48-57, 'a'-'f' → 97-102
     # (md5 emits lowercase). Same value as conv(digit, 16, 10) at ~3× less
     # cost — conv is a general-radix string parse, 16 of them per token.
-    digits = toks.selectExpr(
+    digits = hashed.selectExpr(
         f"`{id_col}`",
+        "__c",
         *[
             f"ascii(substring(__h, {d + 1}, 1)) - 48 - "
             f"IF(ascii(substring(__h, {d + 1}, 1)) >= 97, 39, 0) AS __d{d}"
@@ -719,7 +795,7 @@ def simhash_signatures(
     )
     votes = [
         F.expr(
-            f"sum(IF(((shiftright(__d{b // 4}, {b % 4}) & 1) = 1), 1, -1))"
+            f"sum(IF(((shiftright(__d{b // 4}, {b % 4}) & 1) = 1), __c, -__c))"
             f" AS __v{b}"
         )
         for b in range(64)
