@@ -212,8 +212,13 @@ class IncrementalCorpusCleaner:
         # language + quality filters — the ROUNDED score, exactly as the
         # batch pipeline filters it
         q = quality_features(new.filter(F.col("lang").isin(*self.langs)), "text")
-        filtered = q.filter(F.col("q_score") >= self.min_quality).select(
-            "doc_id", "lang", "q_score"
+        # persisted: consumed by the digest-dedup base, the winners join
+        # and the output events — unpersisted, each consumer re-runs the
+        # regex-heavy quality pipeline over the batch (3× measured)
+        filtered = _track(
+            q.filter(F.col("q_score") >= self.min_quality).select(
+                "doc_id", "lang", "q_score"
+            )
         )
         base = new.join(filtered.select("doc_id"), "doc_id")
 
@@ -322,6 +327,12 @@ class IncrementalCorpusCleaner:
                     ),
                 )
             )
+        # persisted: merge_apply consumes the event frame three times
+        # (affected-bucket aggregate, LWW resolve, lineage offsets); the
+        # replay bench reads events from parquet where re-reads are cheap,
+        # but here each pass would re-run the quality+join pipeline
+        # (measured ~8 s of the ~14 s warm batch at sf1)
+        events = _track(events)
         result = merge_apply(
             self.out, events, epoch_id=epoch_id, key_cols=["doc_id"]
         )
