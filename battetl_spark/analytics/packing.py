@@ -156,6 +156,12 @@ def materialize_chunks(
     that moves exactly ``seq_len`` tokens per output chunk. Span order
     inside a chunk is restored with ``array_sort`` over (start_in_chunk,
     piece) structs — no window, no second shuffle.
+
+    Only valid for plans built with the DEFAULT whitespace token counts:
+    this function re-tokenizes by whitespace, so a plan produced with a
+    custom ``tokens_col`` would mis-align the slices with the counted
+    tokens (round-6 advice note — pass the same custom tokenization here
+    if you ever add one, and assert per-doc counts match the plan's).
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     pieces = plan.join(

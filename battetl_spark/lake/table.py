@@ -500,6 +500,14 @@ class LakeTable:
             dropped[old] = int(sid)  # old name re-carried later = NEW column
             dropped.pop(new, None)
             snap["dropped_cols"] = dropped
+            # remap name-bearing properties: a zone-mapped column keeps its
+            # stats under the new name (otherwise _stats_cols filters the
+            # stale old name out and file skipping silently stops)
+            props = dict(snap.get("properties") or {})
+            listed = list(props.get("stats_cols", []) or [])
+            if old in listed:
+                props["stats_cols"] = [new if c == old else c for c in listed]
+                snap["properties"] = props
             snap["lineage"] = []
             return snap
 

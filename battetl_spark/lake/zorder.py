@@ -48,10 +48,21 @@ def check_zorderable(df_schema, cols: list[str]) -> None:
 
 def _dbl(col: str, dtype: str) -> Column:
     """Rank-preserving double view of a Z-orderable column. timestamp_ntz
-    cannot CAST to double under ANSI — route timestamps through
-    unix_micros (ntz reinterpreted as UTC instants: monotone, which is all
-    a sort key needs); dates through their day number."""
+    is decomposed into date/time parts arithmetically — the former
+    ``cast("timestamp")`` route went through the SESSION timezone, which
+    is non-monotone at DST fall-back transitions (clustering quality only,
+    but silently so). Seconds-scale doubles stay exact to the microsecond
+    until far beyond 2100 (< 2^53 quanta). Instant timestamps use
+    unix_micros directly (tz-independent); dates their day number."""
     c = F.col(col)
+    if dtype == "timestamp_ntz":
+        sec = F.expr(f"extract(SECOND FROM `{col}`)").cast("double")
+        return (
+            F.unix_date(c.cast("date")).cast("double") * 86400.0
+            + F.hour(c).cast("double") * 3600.0
+            + F.minute(c).cast("double") * 60.0
+            + sec
+        )
     if dtype.startswith("timestamp"):
         return F.unix_micros(c.cast("timestamp")).cast("double")
     if dtype == "date":

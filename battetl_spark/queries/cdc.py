@@ -171,9 +171,17 @@ def q_cdc_history_incremental(spark, sf):
             T.StructField("ts", T.TimestampNTZType(), True),
         ]
     )
+    import atexit
+    import shutil
+
+    scratch = tempfile.mkdtemp(prefix="hist_incr_")
+    # the returned frame reads the table lazily, so the directory must
+    # outlive this function — reclaim it at process exit instead of
+    # leaking one table per sweep invocation (round-6 advice fix)
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     h = HistoryTable.create(
         spark,
-        tempfile.mkdtemp(prefix="hist_incr_") + "/t",
+        scratch + "/t",
         payload,
         key_cols=["user_id"],
         num_buckets=8,

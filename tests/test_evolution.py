@@ -273,3 +273,18 @@ def test_history_bookkeeping_columns_protected(spark, tmp_path):
             h.table.rename_column(col, "x")
     h.table.rename_column("text", "body")  # payload evolution still allowed
     assert "body" in [f.name for f in h.table.schema.fields]
+
+
+def test_rename_column_remaps_stats_property(spark, tmp_path, base_pdf):
+    """Renaming a zone-mapped column must carry the stats_cols property to
+    the new name: future writes keep harvesting it and file skipping keeps
+    working (round-6 advice fix — the stale old name was silently filtered
+    out of every later harvest)."""
+    t = seeded(spark, tmp_path / "t_statren", base_pdf)
+    t.compact(min_files_per_bucket=1, cluster_by="tool")
+    assert "tool" in t.snapshot()["properties"]["stats_cols"]
+
+    t.rename_column("tool", "tool_name")
+    props = t.snapshot()["properties"]
+    assert "tool_name" in props["stats_cols"]
+    assert "tool" not in props["stats_cols"]

@@ -619,3 +619,35 @@ def test_count_rows_metadata_fast_path(spark, tmp_path):
     total3, _, _, n_slow_b3 = t.count_rows(_debug=True)
     assert total3 == t.scan().count()
     assert n_slow_b3 > 0
+
+
+def test_zorder_ntz_rank_is_session_tz_independent(spark):
+    """The Z-order double view of a timestamp_ntz column must not depend on
+    the session timezone (round-6 advice fix: the cast("timestamp") route
+    was non-monotone at DST fall-back in non-UTC sessions). Values straddle
+    the US fall-back transition; ranks must be identical and strictly
+    increasing under UTC and under America/Los_Angeles."""
+    import pandas as pd
+
+    from battetl_spark.lake.zorder import _dbl
+
+    ts = pd.to_datetime(pd.Series([
+        "2026-11-01 00:30:00", "2026-11-01 01:00:00", "2026-11-01 01:30:00",
+        "2026-11-01 01:59:59.500000", "2026-11-01 02:00:00", "2026-11-01 02:30:00",
+    ]), format="mixed")
+    pdf = pd.DataFrame({"ts": ts})
+    df = spark.createDataFrame(pdf, schema="ts timestamp_ntz")
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        vals = {}
+        for tz in ("UTC", "America/Los_Angeles"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            vals[tz] = [
+                r[0] for r in df.select(_dbl("ts", "timestamp_ntz")).collect()
+            ]
+        assert vals["UTC"] == vals["America/Los_Angeles"]
+        assert vals["UTC"] == sorted(vals["UTC"])
+        assert len(set(vals["UTC"])) == len(vals["UTC"])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
