@@ -62,12 +62,16 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query. ``queries`` must be broadcast-small
     (the usual ANN regime: few queries, huge corpus)."""
+    # norms are per-VECTOR quantities: stage them once per side instead of
+    # re-folding both norms inside every (query, vector) pair — 1 fold per
+    # pair instead of 3, arithmetic (and therefore every rounded output)
+    # bit-identical
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qv")
-    )
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv")
+    ).withColumn("__nq", _norm(F.col("__qv")))
     v = vectors.select(
-        F.col(id_col), F.col(vec_col).alias("__v")
-    )
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn("__nv", _norm(F.col("__v")))
     sim = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col(query_id_col))
@@ -75,10 +79,8 @@ def cosine_topk(
             query_id_col,
             id_col,
             F.round(
-                cosine(
-                    F.col("__v").cast("array<double>"),
-                    F.col("__qv").cast("array<double>"),
-                ),
+                _dot(F.col("__v"), F.col("__qv"))
+                / (F.col("__nv") * F.col("__nq")),
                 6,
             ).alias("cos_sim"),
         )
@@ -177,7 +179,7 @@ def ivf_cosine_topk(
         F.col(id_col),
         F.col(label_col),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    )
+    ).withColumn("__nv", _norm(F.col("__v")))
     centroids = v.groupBy(label_col).agg(
         F.array(*[F.round(F.avg(F.col("__v")[i]), 6) for i in range(dim)]).alias("__c")
     )
@@ -200,14 +202,21 @@ def ivf_cosine_topk(
         .withColumn("__cr", F.row_number().over(cw))
         .filter(F.col("__cr") <= nprobe)
         .select(query_id_col, label_col, "__qv")
+        .withColumn("__nq", _norm(F.col("__qv")))
     )
+    # per-vector norms staged below the join (1 fold per candidate pair
+    # instead of 3; identical arithmetic, see cosine_topk)
     sim = (
         v.join(F.broadcast(probes), label_col)
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
-            F.round(cosine(F.col("__v"), F.col("__qv")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("__v"), F.col("__qv"))
+                / (F.col("__nv") * F.col("__nq")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -546,18 +555,29 @@ def lsh_cosine_topk(
     v = vectors.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    ).withColumn("bucket", lsh_bucket(F.col("__v"), dim, num_planes))
+    ).withColumns({
+        "bucket": lsh_bucket(F.col("__v"), dim, num_planes),
+        "__nv": _norm(F.col("__v")),
+    })
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-    ).withColumn("bucket", lsh_bucket(F.col("__qv"), dim, num_planes))
+    ).withColumns({
+        "bucket": lsh_bucket(F.col("__qv"), dim, num_planes),
+        "__nq": _norm(F.col("__qv")),
+    })
+    # norms staged below the bucket join — see cosine_topk
     sim = (
         v.join(F.broadcast(q), "bucket")
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
-            F.round(cosine(F.col("__v"), F.col("__qv")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("__v"), F.col("__qv"))
+                / (F.col("__nv") * F.col("__nq")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
