@@ -229,7 +229,9 @@ def ivf_cosine_topk(
     )
 
 
-def _plane_signature(v: DataFrame, id_col: str, n_planes: int) -> DataFrame:
+def _plane_signature(
+    v: DataFrame, id_col: str, n_planes: int, dim: int | None = None
+) -> DataFrame:
     """Hyperplane-dot signature frame (id, __d0.. __d{n-1}) from a frame
     with a quantizable ``__v`` array<double> column.
 
@@ -252,9 +254,14 @@ def _plane_signature(v: DataFrame, id_col: str, n_planes: int) -> DataFrame:
     <pos:int>)``), so the signatures (and therefore buckets, candidates and
     output) are bit-for-bit unchanged — pinned by the unchanged oracles.
     One tiny max-size aggregate sizes the frame (covers ragged corpora;
-    empty input → empty frame)."""
+    empty input → empty frame) unless the caller passes ``dim`` — an
+    EXACT upper bound on vector length known from the corpus schema;
+    positions ≥ dim would silently drop from signatures, so only pass it
+    when the dimension is a hard contract (the batch query entry points
+    do; the incremental index keeps the probe)."""
     spark = v.sparkSession
-    dim = int(v.agg(F.max(F.size("__v"))).first()[0] or 0)
+    if dim is None:
+        dim = int(v.agg(F.max(F.size("__v"))).first()[0] or 0)
     signs = spark.range(dim).selectExpr(
         "CAST(id AS INT) AS __pos",
         "array(" + ", ".join(
@@ -344,6 +351,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probes: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: banded random-hyperplane LSH
     candidates (query-directed multi-probe) + exact-cosine verify (the
@@ -394,7 +402,7 @@ def embedding_near_dup_pairs(
     # signature store: the banded self-join references this frame on both
     # sides — persist (scope-tracked) so the corpus is projected once
     # (N×planes longs, spills if ever large)
-    sig = _track(_plane_signature(v, id_col, bands * rows_per_band))
+    sig = _track(_plane_signature(v, id_col, bands * rows_per_band, dim=dim))
     buckets = _bucket_frame(sig, id_col, bands, rows_per_band, probes)
 
     # probing ONE side suffices: bucket XOR is symmetric, and either

@@ -42,7 +42,10 @@ def q_emb_near_dup(spark, sf):
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform("embedding", lambda x: x * 0.999 + 0.0003).alias("embedding"),
     )
-    return embedding_near_dup_pairs(emb.unionByName(planted), threshold=0.9)
+    # dim=64 is the embeddings table's schema contract (same constant the
+    # ann_* queries pass) — skips the signs-frame max-size probe job
+    return embedding_near_dup_pairs(emb.unionByName(planted), threshold=0.9,
+                                    dim=64)
 
 
 def q_emb_near_dup_incremental(spark, sf):
