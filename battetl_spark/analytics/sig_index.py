@@ -551,18 +551,29 @@ class EmbeddingIndex:
             .unionByName(pairs_of(idx_probed, batch_exact))
             .dropDuplicates(["id_a", "id_b"])
         )
+        from battetl_spark.analytics.similarity import _dot, _norm
+
+        # per-vector norms staged below the verify joins (1 fold per
+        # candidate pair instead of 3; identical arithmetic — see the
+        # batch operator)
         combined_v = index.select(
             "vec_id", F.col("embedding").alias("__v")
-        ).unionByName(new_v)
+        ).unionByName(new_v).withColumn("__nv", _norm(F.col("__v")))
         joined = cand.join(
             combined_v.select(F.col("vec_id").alias("id_a"),
-                              F.col("__v").alias("va")), "id_a"
+                              F.col("__v").alias("va"),
+                              F.col("__nv").alias("__na")), "id_a"
         ).join(
             combined_v.select(F.col("vec_id").alias("id_b"),
-                              F.col("__v").alias("vb")), "id_b"
+                              F.col("__v").alias("vb"),
+                              F.col("__nv").alias("__nb")), "id_b"
         )
         pairs = _track(
-            joined.withColumn("__c", cosine(F.col("va"), F.col("vb")))
+            joined.withColumn(
+                "__c",
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("__na") * F.col("__nb")),
+            )
             .filter(F.col("__c") >= threshold)
             .select("id_a", "id_b", F.round("__c", 6).alias("cos_sim"))
         )

@@ -398,7 +398,7 @@ def embedding_near_dup_pairs(
         )
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    )
+    ).withColumn("__nv", _norm(F.col("__v")))
     # signature store: the banded self-join references this frame on both
     # sides — persist (scope-tracked) so the corpus is projected once
     # (N×planes longs, spills if ever large)
@@ -421,10 +421,17 @@ def embedding_near_dup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # verify with per-vector norms staged BELOW the joins: the candidate
+    # set is ~1% of all pairs (millions at sf1) and the old shape folded
+    # both norms per pair — 3 folds/pair → 1 (identical arithmetic)
     joined = cand.join(
-        v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va")), "id_a"
-    ).join(v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb")), "id_b")
-    raw = cosine(F.col("va"), F.col("vb"))
+        v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"),
+                 F.col("__nv").alias("__na")), "id_a"
+    ).join(
+        v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"),
+                 F.col("__nv").alias("__nb")), "id_b"
+    )
+    raw = _dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
     return (
         joined.withColumn("__c", raw)
         .filter(F.col("__c") >= threshold)

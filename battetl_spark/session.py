@@ -42,6 +42,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # the engine's widest aggregates (144 hyperplane-dot sums, 64
+        # simhash bit votes) exceed the default whole-stage-codegen field
+        # cap of 100 and silently drop out of codegen fusion — measured
+        # 6.3s -> 4.6s on the sf1 embedding signature stage alone.
+        # Scale-independent (plan-shape, not data-size, setting).
+        .config("spark.sql.codegen.maxFields", "200")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
