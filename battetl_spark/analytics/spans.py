@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from battetl_spark.analytics.cache import track as _track
-from battetl_spark.analytics.textops import normalized_text
+from battetl_spark.analytics.textops import normalized_tokens
 
 
 def _span_hash_seq(wh_col, k: int):
@@ -84,7 +84,7 @@ def span_occurrences(
     partial span at pos 1 (so every doc is represented). ``span_h`` is the
     64-bit span key (equality-isomorphic to the span text, see module
     docstring)."""
-    words = F.split(normalized_text(text_col), " ")
+    words = normalized_tokens(text_col)
     staged = docs.select(
         F.col(id_col),
         F.transform(words, lambda w: F.xxhash64(w)).alias("__wh"),
@@ -196,7 +196,7 @@ def strip_duplicated_spans(
     # stage-2 lambdas only touch cheap attributes (the words alias is
     # consumed twice below, which also keeps CollapseProject from inlining
     # the split chain back into a lambda body)
-    words = F.split(normalized_text(text_col), " ")
+    words = normalized_tokens(text_col)
     base = (
         docs.join(dup_ps, id_col, "left")
         .select(

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from battetl_spark.analytics.cache import track as _track
-from battetl_spark.analytics.textops import normalized_text
+from battetl_spark.analytics.textops import normalized_tokens
 
 
 def term_frequencies(
@@ -41,7 +41,7 @@ def term_frequencies(
     one partial-aggregated groupBy."""
     toks = docs.select(
         F.col(id_col),
-        F.explode(F.split(normalized_text(text_col), " ")).alias("term"),
+        F.explode(normalized_tokens(text_col)).alias("term"),
     )
     return toks.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).cast("int").alias("tf")
@@ -81,7 +81,7 @@ def frequent_ngrams(
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     toks = docs.select(
-        F.col(id_col), F.split(normalized_text(text_col), " ").alias("__w")
+        F.col(id_col), normalized_tokens(text_col).alias("__w")
     )
     if n == 1:
         grams = toks.select(id_col, F.explode("__w").alias("ngram"))
