@@ -414,6 +414,41 @@ def _candidate_mass(banded: DataFrame) -> int:
     return int(row["m"] or 0)
 
 
+def _candidate_masses(
+    sigs: DataFrame, id_col: str, num_hashes: int, rs: list[int]
+) -> tuple[dict[int, int], dict[int, int]]:
+    """``_candidate_mass`` for SEVERAL r values in ONE job (round-6: each
+    driver-synchronous probe job costs ~0.5 s at sf1, as much as the
+    candidate join it sizes — probing r and r+1 together halves the
+    escalation path's job count). Also returns each r's TOTAL banded row
+    count (= n_docs × bands(r), exactly — every signature row explodes into
+    precisely ``bands`` entries), so the caller derives the corpus size
+    without a separate count job. Same aggregate expression per r as
+    ``_candidate_mass`` — the masses, and every decision taken on them,
+    are identical."""
+    u = None
+    for r in rs:
+        f = _banded(sigs, id_col, num_hashes, r).select(
+            F.lit(r).alias("__r"), "band", "bh"
+        )
+        u = f if u is None else u.unionByName(f)
+    rows = (
+        u.groupBy("__r", "band", "bh").agg(F.count("*").alias("n"))
+        .groupBy("__r")
+        .agg(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("m"),
+            F.sum("n").alias("t"),
+        )
+        .collect()
+    )
+    masses = {r["__r"]: int(r["m"] or 0) for r in rows}
+    totals = {r["__r"]: int(r["t"] or 0) for r in rows}
+    return (
+        {r: masses.get(r, 0) for r in rs},
+        {r: totals.get(r, 0) for r in rs},
+    )
+
+
 def _auto_rows_per_band(
     sigs: DataFrame,
     id_col: str,
@@ -436,17 +471,27 @@ def _auto_rows_per_band(
     bands would remain. Cost per probe: one count aggregate over the
     exploded signatures (the join it sizes is orders of magnitude bigger).
     Guaranteed-recall alternative when escalation is unacceptable:
-    ``ngram_jaccard_pairs`` (prefix filtering)."""
-    n_docs = sigs.count()
-    if candidate_budget is None:
-        candidate_budget = max(100_000, 16 * n_docs)
+    ``ngram_jaccard_pairs`` (prefix filtering).
+
+    Probe shape (round-6): r and r+1 are measured in ONE aggregate job
+    (``_candidate_masses``), and the corpus size falls out of the same
+    aggregate — 1 driver-synchronous job instead of 3 (count + two probes)
+    on the escalation path, 1 instead of 2 on the common r=start path. The
+    chosen r — smallest within budget, same fewer-than-2-bands stop — is
+    decision-identical to the sequential loop, so results are unchanged."""
     r = start
     while True:
-        banded = _banded(sigs, id_col, num_hashes, r)
-        mass = _candidate_mass(banded)
-        if mass <= candidate_budget or num_hashes // (r + 1) < 2:
-            return r, banded
-        r += 1
+        rs = [r]
+        if num_hashes // (r + 1) >= 2:
+            rs.append(r + 1)
+        masses, totals = _candidate_masses(sigs, id_col, num_hashes, rs)
+        if candidate_budget is None:
+            n_docs = totals[r] // (num_hashes // r)
+            candidate_budget = max(100_000, 16 * n_docs)
+        for rr in rs:
+            if masses[rr] <= candidate_budget or num_hashes // (rr + 1) < 2:
+                return rr, _banded(sigs, id_col, num_hashes, rr)
+        r = rs[-1] + 1
 
 
 def _banded_candidates(
