@@ -789,8 +789,16 @@ def clean_corpus(
         )
     )
     base = docs.join(filtered.select(id_col), id_col)
-    winners = exact_dedup(base, id_col, text_col).select(
-        F.col("keep_id").alias(id_col)
+    # winner IDS persisted: the near-dup pass consumes them (via ``kept``)
+    # and the final survivor anti-join needs ONLY ids — joining the final
+    # branch on this tiny frame instead of the text-carrying ``kept``
+    # removes a second full docs scan + quality join + digest aggregate
+    # (round 6; ~1-2 s at sf1). Output rows are identical: ``kept`` is
+    # unique per id and its lang equals ``filtered``'s for the same id.
+    winners = _track(
+        exact_dedup(base, id_col, text_col).select(
+            F.col("keep_id").alias(id_col)
+        )
     )
     kept = base.join(winners, id_col)
     losers = (
@@ -807,8 +815,8 @@ def clean_corpus(
         .distinct()
     )
     return (
-        kept.join(losers, id_col, "left_anti")
-        .join(filtered, [id_col, lang_col])
+        winners.join(losers, id_col, "left_anti")
+        .join(filtered, id_col)
         .select(id_col, lang_col, "q_score")
     )
 
