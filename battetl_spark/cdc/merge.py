@@ -96,6 +96,44 @@ def _partition_offsets(events: DataFrame) -> dict:
     }
 
 
+def _envelope_stats(slim: DataFrame) -> tuple[list[int], int, dict]:
+    """``_affected_buckets`` + ``_partition_offsets`` from one
+    (bucket, lsn, source_partition) envelope projection in ONE collect job
+    (round 6: the fused-with-lineage path paid two driver-synchronous
+    aggregate jobs over the same tiny frame — each a full job round-trip
+    per merge batch). Both aggregates are map-side-combined; the union just
+    shares the job. Values are identical to the separate calls."""
+    rows = (
+        slim.groupBy(BUCKET_COL)
+        .agg(F.max("lsn").alias("max_lsn"))
+        .select(
+            F.lit(0).alias("__g"),
+            F.col(BUCKET_COL).alias("__b"),
+            F.lit(None).cast("int").alias("source_partition"),
+            F.lit(None).cast("long").alias("min_lsn"),
+            "max_lsn",
+        )
+        .unionByName(
+            slim.groupBy("source_partition")
+            .agg(F.min("lsn").alias("min_lsn"), F.max("lsn").alias("max_lsn"))
+            .select(
+                F.lit(1).alias("__g"),
+                F.lit(None).cast(slim.schema[BUCKET_COL].dataType).alias("__b"),
+                "source_partition",
+                "min_lsn",
+                "max_lsn",
+            )
+        )
+        .collect()
+    )
+    buckets = sorted(r["__b"] for r in rows if r["__g"] == 0)
+    mx = max((r["max_lsn"] for r in rows if r["__g"] == 0), default=0)
+    offsets = {
+        r["source_partition"]: r for r in rows if r["__g"] == 1
+    }
+    return buckets, mx, offsets
+
+
 def merge_apply(
     table: LakeTable,
     events: DataFrame,
@@ -196,12 +234,27 @@ def _merge_apply_mor(
     payload_cols = [f.name for f in evolved.fields if not f.name.startswith("_")]
     by_name = {f.name: f for f in evolved.fields}
 
-    buckets, batch_max_lsn = _affected_buckets(
-        events.select(
-            bucket_expr(snap["bucket_key"], snap["num_buckets"]).alias(BUCKET_COL),
-            "lsn",
+    offsets: dict | None = None
+    if collect_lineage:
+        # one job: affected buckets + fence max + lineage offsets together
+        buckets, batch_max_lsn, offsets = _envelope_stats(
+            events.select(
+                bucket_expr(
+                    snap["bucket_key"], snap["num_buckets"]
+                ).alias(BUCKET_COL),
+                "lsn",
+                "source_partition",
+            )
         )
-    )
+    else:
+        buckets, batch_max_lsn = _affected_buckets(
+            events.select(
+                bucket_expr(
+                    snap["bucket_key"], snap["num_buckets"]
+                ).alias(BUCKET_COL),
+                "lsn",
+            )
+        )
     if not buckets:
         return MergeResult(applied=False)
 
@@ -227,7 +280,6 @@ def _merge_apply_mor(
     ins = dele = 0
     if collect_lineage:
         winners = winners.persist()
-        offsets = _partition_offsets(events)
         changes = {
             (r["source_partition"], r["__kind"]): r["n"]
             for r in winners.withColumn(
@@ -319,14 +371,31 @@ def _merge_apply_once(
     by_name = {f.name: f for f in evolved.fields}
 
     persisted = None
+    offsets = None
     if dedup_strategy == "fused":
         winners = _project(events, payload_cols, by_name, snap)
         # affected buckets + fence max from a column-pruned scan of the raw
-        # batch (only bucket_key + lsn reach the shuffle, post-combine)
-        slim = events.select(
-            bucket_expr(snap["bucket_key"], snap["num_buckets"]).alias(BUCKET_COL),
-            "lsn",
-        )
+        # batch (only bucket_key + lsn reach the shuffle, post-combine);
+        # with lineage on, the per-partition offsets share the same job
+        if collect_lineage:
+            buckets, batch_max_lsn, offsets = _envelope_stats(
+                events.select(
+                    bucket_expr(
+                        snap["bucket_key"], snap["num_buckets"]
+                    ).alias(BUCKET_COL),
+                    "lsn",
+                    "source_partition",
+                )
+            )
+        else:
+            buckets, batch_max_lsn = _affected_buckets(
+                events.select(
+                    bucket_expr(
+                        snap["bucket_key"], snap["num_buckets"]
+                    ).alias(BUCKET_COL),
+                    "lsn",
+                )
+            )
     else:
         winners = _project(
             lww_winners(events, key_cols, "lsn", strategy=dedup_strategy,
@@ -334,10 +403,11 @@ def _merge_apply_once(
             payload_cols, by_name, snap,
         ).persist()
         persisted = winners
-        slim = winners.select(BUCKET_COL, "lsn")
     try:
-        # one job: affected buckets + batch max lsn (fence) together
-        buckets, batch_max_lsn = _affected_buckets(slim)
+        if dedup_strategy != "fused":
+            buckets, batch_max_lsn = _affected_buckets(
+                winners.select(BUCKET_COL, "lsn")
+            )
         if not buckets:
             return MergeResult(applied=False)
 
@@ -387,7 +457,8 @@ def _merge_apply_once(
         lineage_rows: list[dict] = []
         ins = upd = dele = 0
         if collect_lineage:
-            offsets = _partition_offsets(events)
+            if offsets is None:  # non-fused strategies: winners-side slim
+                offsets = _partition_offsets(events)
             changes = {
                 (r["source_partition"], r["__change"]): r["n"]
                 for r in resolved.filter(F.col("__change") != "unchanged")
