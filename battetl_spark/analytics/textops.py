@@ -425,13 +425,26 @@ def _candidate_masses(
     precisely ``bands`` entries), so the caller derives the corpus size
     without a separate count job. Same aggregate expression per r as
     ``_candidate_mass`` — the masses, and every decision taken on them,
-    are identical."""
-    u = None
-    for r in rs:
-        f = _banded(sigs, id_col, num_hashes, r).select(
-            F.lit(r).alias("__r"), "band", "bh"
-        )
-        u = f if u is None else u.unionByName(f)
+    are identical.
+
+    All r values explode from ONE scan of ``sigs`` (a single Generate of
+    tagged (r, band, bh) structs): a union of per-r banded frames would
+    scan the persisted-but-not-yet-materialized signature frame once per
+    leg INSIDE the same job, re-running the signature pipeline per leg
+    (measured +0.15 s at sf0.1 where the probe job is also the cache
+    materializer)."""
+    entries = ", ".join(
+        f"named_struct('r', {r}, 'band', {b}, 'bh', xxhash64("
+        + ", ".join(f"minhash[{b * r + i}]" for i in range(r))
+        + "))"
+        for r in rs
+        for b in range(num_hashes // r)
+    )
+    u = sigs.selectExpr(f"explode(array({entries})) AS bb").select(
+        F.col("bb.r").alias("__r"),
+        F.col("bb.band").alias("band"),
+        F.col("bb.bh").alias("bh"),
+    )
     rows = (
         u.groupBy("__r", "band", "bh").agg(F.count("*").alias("n"))
         .groupBy("__r")
