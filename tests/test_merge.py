@@ -170,3 +170,38 @@ def test_only_touched_buckets_rewritten(spark, tmp_path, base_pdf):
     files_after = t.snapshot()["files"]
     untouched = [b for b in files_before if int(b) not in res.buckets_rewritten]
     assert untouched and all(files_before[b] == files_after[b] for b in untouched)
+
+
+def test_envelope_stats_matches_separate_aggregates(spark):
+    """The fused envelope collect (round 6) must report exactly what the
+    two separate aggregates report: affected buckets + batch max lsn
+    (``_affected_buckets``) and per-source-partition lsn offsets
+    (``_partition_offsets``) — including a NULL source_partition."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from battetl_spark.cdc import merge as M
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c2", "c3", "c4", "c1"],
+            "lsn": [10, 20, 5, 7, 30],
+            "source_partition": [0, 1, 0, None, 1],
+        }
+    )
+    ev = spark.createDataFrame(pdf).withColumn(
+        "source_partition", F.col("source_partition").cast("int")
+    )
+    slim = ev.select(
+        M.bucket_expr("conv_id", 8).alias(M.BUCKET_COL),
+        "lsn",
+        "source_partition",
+    )
+    buckets, mx, offsets = M._envelope_stats(slim)
+    b2, mx2 = M._affected_buckets(slim.select(M.BUCKET_COL, "lsn"))
+    off2 = M._partition_offsets(ev)
+    assert buckets == b2 and mx == mx2
+    assert set(offsets) == set(off2)
+    for sp in off2:
+        assert offsets[sp]["min_lsn"] == off2[sp]["min_lsn"]
+        assert offsets[sp]["max_lsn"] == off2[sp]["max_lsn"]

@@ -876,3 +876,22 @@ def test_repetition_features_plan_is_map_only(spark, docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "PythonUDF" not in plan
+
+
+def test_candidate_masses_match_per_r_probes(spark):
+    """The fused multi-r probe (round 6) must report, for every probed r,
+    exactly the mass the sequential ``_candidate_mass`` probe reports, and
+    a row total of n_docs x bands(r) (the corpus-size derivation the
+    budget uses)."""
+    docs, _ = _low_entropy_corpus(spark, n_docs=300, planted=2)
+    from battetl_spark.analytics.cache import cache_scope
+
+    with cache_scope():
+        sigs = TX.minhash_signatures(docs).cache()
+        n_docs = sigs.count()
+        masses, totals = TX._candidate_masses(sigs, "doc_id", 32, [2, 3])
+        for r in (2, 3):
+            assert masses[r] == TX._candidate_mass(
+                TX._banded(sigs, "doc_id", 32, r)
+            )
+            assert totals[r] == n_docs * (32 // r)
