@@ -488,6 +488,7 @@ class EmbeddingIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         threshold: float = 0.9,
+        dim: int | None = None,
     ) -> DataFrame:
         """Ingest one batch; returns verified (id_a, id_b, cos_sim) pairs
         between the batch's NEW vectors and the indexed corpus + the batch
@@ -495,7 +496,11 @@ class EmbeddingIndex:
         SMALLER id probes — so the per-batch union over any partitioning
         equals ``embedding_near_dup_pairs`` on the full corpus exactly.
         Same only-new-rows / materialize-before-append contract as
-        MinHashIndex."""
+        MinHashIndex. ``dim``: an EXACT upper bound on vector length known
+        from the corpus schema — skips the per-batch signs-frame max-size
+        probe job (see ``_plane_signature``; positions ≥ dim would silently
+        drop from signatures, so only pass a hard schema contract). Default
+        keeps the safe probe."""
         from battetl_spark.analytics.similarity import (
             _bucket_frame,
             _exploded_bucket_rows,
@@ -510,7 +515,9 @@ class EmbeddingIndex:
                 F.col(vec_col).cast("array<double>").alias("__v"),
             ).join(index.select("vec_id"), "vec_id", "left_anti")
         )
-        sig = _plane_signature(new_v, "vec_id", self.bands * self.rows_per_band)
+        sig = _plane_signature(
+            new_v, "vec_id", self.bands * self.rows_per_band, dim=dim
+        )
         buckets = _track(
             _bucket_frame(
                 sig, "vec_id", self.bands, self.rows_per_band, self.probes

@@ -74,6 +74,10 @@ def q_emb_near_dup_incremental(spark, sf):
         pairs = idx.add_batch(
             corpus.filter(F.pmod(F.col("vec_id"), F.lit(3)) == i),
             threshold=0.9,
+            # dim=64 is the embeddings table's schema contract (the same
+            # constant the batch query passes) — skips the per-batch
+            # signs-frame max-size probe job
+            dim=64,
         )
         out = pairs if out is None else out.unionByName(pairs)
     return out
